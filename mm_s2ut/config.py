@@ -1,0 +1,302 @@
+"""Typed configuration tree.
+
+One config system replacing the reference's three layers (SURVEY.md §5.6):
+fairseq argparse ``add_args`` (reference tasks/speech_to_speech.py:47-81),
+fairseq data-config YAML (reference config/xm_transformer.yaml), and the
+OmegaConf multimodal YAML (reference config/multimodal_s2ut_transformer.yaml,
+loaded at tasks/speech_to_speech.py:86-91 and models/mm_s2s_transformer.py:103-107).
+
+The ``multimodal_s2ut_transformer.yaml`` key names are preserved verbatim
+(BASELINE.json requires the yaml surface unchanged): see
+:class:`MultimodalConfig` field names.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, List, Optional, Sequence
+
+import yaml
+
+# ---------------------------------------------------------------------------
+# Multimodal (fusion) config — key-for-key the reference yaml surface.
+# Reference: config/multimodal_s2ut_transformer.yaml:1-41 and the
+# getattr-defaulted read sites in models/mm_s2s_transformer.py:103-126.
+# ---------------------------------------------------------------------------
+
+VISUAL_EXTRACTOR_TYPE_CHOICES = (None, "", "vit", "detr", "resnet", "resnet+encoder")
+MULTIMODAL_ATTENTION_TYPE_CHOICES = (None, "selective_attention", "multimodal_attention")
+
+
+@dataclass
+class MultimodalConfig:
+    # Selective-attention dropouts.
+    SA_image_dropout: float = 0.1
+    SA_text_dropout: float = 0.0
+    SA_attention_dropout: float = 0.1
+    # Pre-norm the image stream before fusion.
+    image_pre_norm: bool = True
+    # Fuse at the top of the encoder (vs in-layer fusion).
+    is_fusion_top: bool = True
+    # One image-feature source per entry; dims must align 1:1.
+    image_feat_path: List[str] = field(default_factory=list)
+    image_feat_dim: List[int] = field(default_factory=lambda: [768])
+    flickr30k_root: str = ""
+    # Optional on-line visual extractor (None ⇒ offline features).
+    visual_extractor_type_choices: List[Any] = field(
+        default_factory=lambda: list(VISUAL_EXTRACTOR_TYPE_CHOICES)
+    )
+    load_visual_extractor_type: Optional[str] = None
+    load_visual_extractor: Optional[str] = None
+    # AV-HuBERT-style modality dropout: probability of dropping one modality;
+    # given a drop, probability the *audio* stream is the one zeroed.
+    # Negative value disables (reference yaml comments, sign<0 convention).
+    modality_dropout: float = -0.5
+    audio_dropout: float = -0.5
+    # Fusion op selection + sigmoid gate.
+    multimodal_attention_type_choices: List[Any] = field(
+        default_factory=lambda: list(MULTIMODAL_ATTENTION_TYPE_CHOICES)
+    )
+    multimodal_attention_type: Optional[str] = "multimodal_attention"
+    use_selective_gate: bool = True
+    is_merge_text_img: bool = False
+    # Image-only ablation (read unconditionally by the reference model at
+    # mm_s2s_transformer.py:107 although absent from the shipped yaml — here
+    # it is a first-class default=False field, fixing that gap).
+    only_img: bool = False
+
+    def validate(self) -> "MultimodalConfig":
+        if self.multimodal_attention_type not in MULTIMODAL_ATTENTION_TYPE_CHOICES:
+            raise ValueError(
+                f"multimodal_attention_type={self.multimodal_attention_type!r} "
+                f"not in {MULTIMODAL_ATTENTION_TYPE_CHOICES}"
+            )
+        if self.load_visual_extractor_type not in VISUAL_EXTRACTOR_TYPE_CHOICES:
+            raise ValueError(
+                f"load_visual_extractor_type={self.load_visual_extractor_type!r} "
+                f"not in {VISUAL_EXTRACTOR_TYPE_CHOICES}"
+            )
+        if self.image_feat_path and len(self.image_feat_path) != len(self.image_feat_dim):
+            raise ValueError("image_feat_path and image_feat_dim must align 1:1")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Data config — the fairseq data-config yaml surface
+# (reference config/xm_transformer.yaml:1-7) plus S2S dataset knobs
+# (reference tasks/speech_to_speech.py:47-81).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NoiseConfig:
+    """On-the-fly noise augmentation (reference --noise-config-yaml,
+    tasks/speech_to_speech.py:76-81; mixing math data/audio_utils.py:161-233)."""
+
+    noise_wav_dir: str = ""
+    noise_prob: float = 0.0
+    noise_snr_low: float = 5.0
+    noise_snr_high: float = 20.0
+
+
+@dataclass
+class DataConfig:
+    data_root: str = ""
+    audio_root: str = ""
+    standardize_audio: bool = False
+    use_audio_input: bool = True  # raw waveform in, else precomputed fbank
+    vocab_filename: str = "dict.txt"
+    prepend_bos_and_append_tgt_lang_tag: bool = False
+    tgt_lang: str = ""
+    eos_token: str = ""
+    # Fbank frontend (kaldi-compatible; reference data/audio_utils.py:326-349).
+    num_mel_bins: int = 80
+    sample_rate: int = 16000
+    # Target side.
+    target_is_code: bool = True
+    target_code_size: int = 1000
+    n_frames_per_step: int = 1
+    # Batching (reference --max-tokens dynamic batching; here token-bucketed
+    # with static padded shapes for XLA).
+    max_tokens: int = 8000
+    max_source_positions: int = 4000
+    max_target_positions: int = 3000
+    num_buckets: int = 8
+    noise: NoiseConfig = field(default_factory=NoiseConfig)
+
+
+# ---------------------------------------------------------------------------
+# Model (architecture) config.
+# Defaults mirror the fairseq `s2ut_transformer` arch the reference registers
+# its mm variant over (reference models/mm_s2s_transformer.py:703-710).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ModelConfig:
+    arch: str = "mm_s2ut_transformer"
+    # Encoder (conv-subsample speech transformer, F7).
+    conv_kernel_sizes: List[int] = field(default_factory=lambda: [5, 5])
+    conv_channels: int = 1024
+    input_feat_per_channel: int = 80
+    input_channels: int = 1
+    encoder_embed_dim: int = 512
+    encoder_ffn_embed_dim: int = 2048
+    encoder_layers: int = 12
+    encoder_attention_heads: int = 8
+    encoder_normalize_before: bool = True
+    # Decoder (unit decoder, F8).
+    decoder_embed_dim: int = 512
+    decoder_ffn_embed_dim: int = 2048
+    decoder_layers: int = 6
+    decoder_attention_heads: int = 8
+    decoder_normalize_before: bool = True
+    share_decoder_input_output_embed: bool = True
+    # Common.
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation_fn: str = "relu"
+    layernorm_eps: float = 1e-5
+    max_source_positions: int = 6000
+    max_target_positions: int = 3000
+    # Speech-encoder branch selection (reference mm_s2s_transformer.py:378-462):
+    # "conv_transformer" | "hubert" | "wav2vec2" | "wav2vec2_multimodal"
+    speech_encoder_type: str = "conv_transformer"
+    # Speaker embedding (optional).
+    speaker_embed_dim: int = 0
+    # Units.
+    vocab_size: int = 1010  # 4 specials + 1000 units + lang tags padding
+    n_frames_per_step: int = 1
+    # Auxiliary CTC head on the encoder (multitask, F9).
+    ctc_weight: float = 0.0
+    # Compute dtype for the forward pass (bf16 on TPU, F3).
+    dtype: str = "bfloat16"
+    # Multimodal fusion block.
+    multimodal: MultimodalConfig = field(default_factory=MultimodalConfig)
+
+
+# ---------------------------------------------------------------------------
+# Train / optimization config (F1/F2).
+# Defaults mirror reference scripts/textless/1_train.sh:105-125.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 5e-4
+    warmup_updates: int = 10000
+    warmup_init_lr: float = 1e-7
+    lr_scheduler: str = "inverse_sqrt"
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.98
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.0
+    clip_norm: float = 10.0
+    update_freq: int = 1
+    max_update: int = 400000
+    label_smoothing: float = 0.2
+    rdrop_alpha: float = 0.0
+    seed: int = 1
+    save_dir: str = "checkpoints"
+    save_interval_updates: int = 1000
+    keep_last_checkpoints: int = 5
+    log_interval: int = 100
+    best_checkpoint_metric: str = "loss"
+    maximize_best_checkpoint_metric: bool = False
+    # Modality freeze schedule (reference --freezing-updates).
+    freezing_updates: int = 0
+    # Rematerialisation policy for memory (reference --checkpoint-activations).
+    checkpoint_activations: bool = False
+
+
+@dataclass
+class GenerationConfig:
+    beam: int = 10
+    max_len_a: float = 1.0
+    max_len_b: int = 200
+    len_penalty: float = 1.0
+    unk_penalty: float = 0.0
+    max_tokens: int = 8000
+    # n-best to emit into generate-*.txt (reference emits top-1 H/D lines).
+    nbest: int = 1
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout (SURVEY.md §5.8). DP is the parity requirement;
+    the model axis is first-class so TP can be enabled without restructuring."""
+
+    data: int = -1  # -1 ⇒ all devices on the data axis
+    model: int = 1
+
+
+@dataclass
+class Config:
+    task: str = "multimodal_speech_to_speech"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+# ---------------------------------------------------------------------------
+# Construction helpers.
+# ---------------------------------------------------------------------------
+
+
+def _build(cls, data: Any):
+    if data is None:
+        return cls()
+    if dataclasses.is_dataclass(cls):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        unknown = {}
+        for key, value in dict(data).items():
+            if key in fields:
+                ftype = fields[key].type
+                fdefault = fields[key].default_factory() if fields[key].default_factory is not dataclasses.MISSING else fields[key].default  # type: ignore[misc]
+                if dataclasses.is_dataclass(fdefault):
+                    kwargs[key] = _build(type(fdefault), value)
+                else:
+                    kwargs[key] = value
+            else:
+                unknown[key] = value
+        obj = cls(**kwargs)
+        if unknown:
+            # Unknown keys are kept (forward compatibility with enriched
+            # yamls copied beside the data — reference textless/1_train.sh:86-88).
+            object.__setattr__(obj, "_extra", unknown)
+        return obj
+    return data
+
+
+def load_yaml(path: str | Path) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def load_multimodal_yaml(path: str | Path) -> MultimodalConfig:
+    """Load a reference-format ``multimodal_s2ut_transformer.yaml``."""
+    return _build(MultimodalConfig, load_yaml(path)).validate()
+
+
+def load_data_yaml(path: str | Path) -> DataConfig:
+    """Load a reference-format data config yaml (xm_transformer.yaml surface)."""
+    return _build(DataConfig, load_yaml(path))
+
+
+def load_config(path: str | Path) -> Config:
+    """Load a full framework config (nested task/model/data/train yaml)."""
+    return _build(Config, load_yaml(path))
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def save_yaml(cfg: Any, path: str | Path) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)

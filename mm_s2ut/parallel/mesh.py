@@ -1,0 +1,118 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's torch.distributed/NCCL DDP
+(reference scripts/textless/1_train.sh:106, README.md:145; SURVEY.md §5.8):
+a named `jax.sharding.Mesh` with a ``data`` axis (DP — the parity
+requirement) and a ``model`` axis (TP — attention heads / FFN sharded
+Megatron-style). Gradient reduction is implicit in jit-compiled ``psum``
+over ICI; no NCCL, no process groups.
+
+Multi-host: call :func:`init_distributed` before :func:`make_mesh`.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host init (replaces torch.distributed.init_process_group)."""
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh over the available devices.
+
+    ``data=-1`` ⇒ use all remaining devices on the data axis. The model
+    axis is laid out innermost so TP collectives ride the fastest ICI links.
+    """
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    n = devs.size
+    if model <= 0:
+        model = 1
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        devs = devs[: data * model]
+    return Mesh(devs.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch pytree with batch-dim sharding."""
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, max(x.ndim, 1)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+# ---------------------------------------------------------------------------
+# Parameter partitioning (TP). Rules keyed on parameter path; default is
+# replicated (pure DP — reference parity). With mesh.model > 1, attention
+# QKV/out and FFN weights shard Megatron-style.
+# ---------------------------------------------------------------------------
+
+# (regex on 'path/like/this', PartitionSpec) — first match wins.
+_TP_RULES = [
+    # Attention: q/k/v project col-parallel, out row-parallel.
+    (re.compile(r".*(q_proj|k_proj|v_proj)/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*(q_proj|k_proj|v_proj)/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*out_proj/kernel$"), P(MODEL_AXIS, None)),
+    # FFN: fc1 col-parallel, fc2 row-parallel.
+    (re.compile(r".*fc1/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*fc1/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*fc2/kernel$"), P(MODEL_AXIS, None)),
+    # Embedding / output projection: shard the vocab dim.
+    (re.compile(r".*embed_tokens/embedding$"), P(MODEL_AXIS, None)),
+]
+
+
+def _spec_for(path: str, ndim: int, tp: bool) -> P:
+    if tp:
+        for rx, spec in _TP_RULES:
+            if rx.match(path) and len([s for s in spec if s is not None]) <= ndim:
+                return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree for a param pytree (flax FrozenDict or dict)."""
+    tp = mesh.shape[MODEL_AXIS] > 1
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    shardings = []
+    for keypath, leaf in flat:
+        path = "/".join(_key_str(k) for k in keypath)
+        shardings.append(NamedSharding(mesh, _spec_for(path, np.ndim(leaf), tp)))
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def _key_str(k) -> str:
+    if hasattr(k, "key"):
+        return str(k.key)
+    if hasattr(k, "idx"):
+        return str(k.idx)
+    return str(k)

