@@ -1,0 +1,364 @@
+"""Transformer building blocks (flax linen), TPU-first.
+
+Replaces the fairseq base transformer machinery the reference subclasses
+(SURVEY.md F7/F8: S2TTransformerEncoder conv subsampler + layers at
+reference models/mm_s2s_transformer.py:87; TransformerDecoder imports at
+models/mm_s2s_transformer.py:29-38). Design notes:
+
+* Params live in fp32; compute dtype is configurable (bf16 on TPU, F3 —
+  no loss scaling needed).
+* Attention exposes an explicit, fixed-shape KV cache threaded through
+  ``__call__`` so incremental decoding jits as a ``lax.while_loop`` body
+  (SURVEY.md §7 hard part 2) — no mutable module state.
+* All masks are additive float biases computed once per batch; no boolean
+  fancy-indexing (static shapes for XLA).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+Cache = Dict[str, jnp.ndarray]
+
+NEG_INF = -1e9  # additive mask value (finite: avoids NaN softmax rows in bf16)
+
+
+def make_padding_bias(padding_mask: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
+    """(B, Tk) bool (True = pad) → (B, 1, 1, Tk) additive bias."""
+    return jnp.where(padding_mask, NEG_INF, 0.0).astype(dtype)[:, None, None, :]
+
+
+def make_causal_bias(t: int, dtype: Dtype) -> jnp.ndarray:
+    """(1, 1, T, T) additive causal bias."""
+    mask = jnp.tril(jnp.ones((t, t), bool))
+    return jnp.where(mask, 0.0, NEG_INF).astype(dtype)[None, None]
+
+
+def lengths_to_padding_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """(B,) → (B, T) bool mask, True where padded."""
+    return jnp.arange(max_len)[None, :] >= lengths[:, None]
+
+
+def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    return {
+        "relu": jax.nn.relu,
+        "gelu": jax.nn.gelu,
+        "silu": jax.nn.silu,
+        "swish": jax.nn.silu,
+        "tanh": jnp.tanh,
+        "glu": None,  # handled structurally
+    }[name]
+
+
+def sinusoidal_positions(
+    max_len: int, dim: int, padding_idx: int = 1
+) -> np.ndarray:
+    """Fairseq-convention sinusoidal table: half sin, half cos, position
+    offset by padding_idx+1, zero vector reserved rows. Shape (max_len, dim).
+    """
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = np.exp(np.arange(half, dtype=np.float64) * -emb)
+    pos = np.arange(padding_idx + 1, max_len + padding_idx + 1, dtype=np.float64)
+    args = pos[:, None] * freqs[None, :]
+    table = np.concatenate([np.sin(args), np.cos(args)], axis=1)
+    if dim % 2:
+        table = np.concatenate([table, np.zeros((max_len, 1))], axis=1)
+    return table.astype(np.float32)
+
+
+class SinusoidalPositionalEmbedding(nn.Module):
+    dim: int
+    max_len: int = 8192
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, offset: jnp.ndarray | int = 0) -> jnp.ndarray:
+        """x: (B, T, D). offset: scalar start position (decode step)."""
+        table = jnp.asarray(sinusoidal_positions(self.max_len, self.dim))
+        t = x.shape[1]
+        if isinstance(offset, int) and offset == 0:
+            pe = table[:t]
+        else:
+            pe = jax.lax.dynamic_slice_in_dim(table, offset, t, 0)
+        return x + pe[None].astype(self.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with optional fixed-shape KV cache.
+
+    Cache layout: {"k": (B, Tmax, H, Dh), "v": same, "index": ()} —
+    time-major per batch so decode-step writes are a dynamic_update_slice
+    on axis 1. MXU-friendly einsums; softmax in fp32.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    # Separate kdim/vdim (the reference SelectiveAttention allows distinct
+    # q/k/v dims — reference models/fuse.py:36-64).
+    kdim: Optional[int] = None
+    vdim: Optional[int] = None
+
+    def setup(self):
+        if self.embed_dim % self.num_heads:
+            raise ValueError("embed_dim must divide num_heads")
+        self.head_dim = self.embed_dim // self.num_heads
+        dense = lambda feats, name: nn.Dense(
+            feats, dtype=self.dtype, name=name,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )
+        self.q_proj = dense(self.embed_dim, "q_proj")
+        self.k_proj = dense(self.embed_dim, "k_proj")
+        self.v_proj = dense(self.embed_dim, "v_proj")
+        self.out_proj = dense(self.embed_dim, "out_proj")
+        self.drop = nn.Dropout(self.dropout)
+
+    def init_cache(self, batch: int, max_len: int) -> Cache:
+        shape = (batch, max_len, self.num_heads, self.embed_dim // self.num_heads)
+        return {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+            "index": jnp.zeros((), jnp.int32),
+        }
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, self.head_dim)
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: Optional[jnp.ndarray] = None,
+        value: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,
+        cache: Optional[Cache] = None,
+        static_kv: bool = False,
+        deterministic: bool = True,
+        return_weights: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[Cache], Optional[jnp.ndarray]]:
+        """Returns (out, new_cache, attn_weights|None).
+
+        * self-attention: key/value None.
+        * incremental self-attention: pass ``cache``; query is the new step(s).
+        * cross-attention with cached encoder K/V: pass ``cache`` with
+          ``static_kv=True`` (cache pre-filled via :meth:`precompute_kv`).
+        """
+        key = query if key is None else key
+        value = key if value is None else value
+        q = self._split(self.q_proj(query)) * (self.head_dim**-0.5)
+
+        new_cache = None
+        if cache is not None and static_kv:
+            k, v = cache["k"], cache["v"]
+            new_cache = cache
+        elif cache is not None:
+            k_new = self._split(self.k_proj(key))
+            v_new = self._split(self.v_proj(value))
+            idx = cache["index"]
+            k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, idx, 1)
+            v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, idx, 1)
+            new_cache = {"k": k, "v": v, "index": idx + key.shape[1]}
+            # Mask out cache positions not yet written.
+            t_total = k.shape[1]
+            valid = jnp.arange(t_total)[None, :] < (idx + key.shape[1])
+            step_bias = jnp.where(valid, 0.0, NEG_INF).astype(self.dtype)[:, None, None, :]
+            bias = step_bias if bias is None else bias + step_bias
+        else:
+            k = self._split(self.k_proj(key))
+            v = self._split(self.v_proj(value))
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        weights = self.drop(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = self.out_proj(out.reshape(*query.shape[:2], self.embed_dim))
+        return out, new_cache, (weights if return_weights else None)
+
+    def precompute_kv(self, key: jnp.ndarray, value: Optional[jnp.ndarray] = None) -> Cache:
+        """Pre-project encoder states for cached cross-attention."""
+        value = key if value is None else value
+        return {
+            "k": self._split(self.k_proj(key)),
+            "v": self._split(self.v_proj(value)),
+            "index": jnp.asarray(key.shape[1], jnp.int32),
+        }
+
+
+class FeedForward(nn.Module):
+    ffn_dim: int
+    out_dim: int
+    activation: str = "relu"
+    dropout: float = 0.0
+    activation_dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        h = get_activation(self.activation)(h)
+        h = nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(h)
+        return h
+
+
+class TransformerEncoderLayer(nn.Module):
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        padding_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        ln1 = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")
+        ln2 = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")
+        attn = MultiHeadAttention(
+            self.embed_dim, self.num_heads, self.attention_dropout,
+            dtype=self.dtype, name="self_attn",
+        )
+        ffn = FeedForward(
+            self.ffn_dim, self.embed_dim, self.activation,
+            self.dropout, self.activation_dropout, dtype=self.dtype, name="ffn",
+        )
+        drop = nn.Dropout(self.dropout)
+
+        residual = x
+        h = ln1(x) if self.normalize_before else x
+        h, _, _ = attn(h, bias=padding_bias, deterministic=deterministic)
+        h = drop(h, deterministic=deterministic)
+        x = residual + h
+        if not self.normalize_before:
+            x = ln1(x)
+
+        residual = x
+        h = ln2(x) if self.normalize_before else x
+        h = ffn(h, deterministic=deterministic)
+        h = drop(h, deterministic=deterministic)
+        x = residual + h
+        if not self.normalize_before:
+            x = ln2(x)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.embed_dim, self.num_heads, self.attention_dropout,
+            dtype=self.dtype, name="self_attn",
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.embed_dim, self.num_heads, self.attention_dropout,
+            dtype=self.dtype, name="cross_attn",
+        )
+        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.cross_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ffn = FeedForward(
+            self.ffn_dim, self.embed_dim, self.activation,
+            self.dropout, self.activation_dropout, dtype=self.dtype,
+        )
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        encoder_out: Optional[jnp.ndarray],
+        self_bias: Optional[jnp.ndarray] = None,
+        cross_bias: Optional[jnp.ndarray] = None,
+        self_cache: Optional[Cache] = None,
+        cross_cache: Optional[Cache] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[Cache], Optional[Cache]]:
+        residual = x
+        h = self.self_attn_layer_norm(x) if self.normalize_before else x
+        h, self_cache, _ = self.self_attn(
+            h, bias=self_bias, cache=self_cache, deterministic=deterministic
+        )
+        x = residual + self.drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        if encoder_out is not None or cross_cache is not None:
+            residual = x
+            h = self.cross_attn_layer_norm(x) if self.normalize_before else x
+            h, cross_cache, _ = self.cross_attn(
+                h, key=encoder_out, bias=cross_bias,
+                cache=cross_cache, static_kv=cross_cache is not None,
+                deterministic=deterministic,
+            )
+            x = residual + self.drop(h, deterministic=deterministic)
+            if not self.normalize_before:
+                x = self.cross_attn_layer_norm(x)
+
+        residual = x
+        h = self.final_layer_norm(x) if self.normalize_before else x
+        h = self.ffn(h, deterministic=deterministic)
+        x = residual + self.drop(h, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.final_layer_norm(x)
+        return x, self_cache, cross_cache
+
+
+class Conv1dSubsampler(nn.Module):
+    """2× stride-2 Conv1d + GLU subsampler (4× downsampling).
+
+    TPU-native stand-in for fairseq's Conv1dSubsampler used by the S2T
+    encoder the reference subclasses (SURVEY.md F7). Convs run as XLA
+    convolutions in NTC layout.
+    """
+
+    mid_channels: int = 1024
+    out_dim: int = 512
+    kernel_sizes: Tuple[int, ...] = (5, 5)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, T, F) features → (B, T', out_dim), updated lengths."""
+        n = len(self.kernel_sizes)
+        for i, k in enumerate(self.kernel_sizes):
+            out_ch = self.mid_channels if i < n - 1 else self.out_dim * 2
+            x = nn.Conv(
+                out_ch, (k,), strides=(2,), padding=[(k // 2, k // 2)],
+                dtype=self.dtype, name=f"conv{i}",
+            )(x)
+            x = jax.nn.glu(x, axis=-1)
+            lengths = (lengths - 1) // 2 + 1
+        return x, lengths
+
+
+def subsampled_length(length: int, n_convs: int = 2) -> int:
+    for _ in range(n_convs):
+        length = (length - 1) // 2 + 1
+    return length

@@ -1,0 +1,239 @@
+"""Flagship model: multimodal speech-to-unit transformer (``mm_s2ut_transformer``).
+
+TPU-native re-design of the reference MM_S2UTTransformerModel /
+MM_S2STransformerEncoder (SURVEY.md C8; reference
+models/mm_s2s_transformer.py:87-710): a speech encoder branch, optional
+target-speaker conditioning, top fusion of one or more image-feature
+sources via selective/multimodal attention with a sigmoid gate, AV-HuBERT
+style modality dropout, the ``only_img`` ablation, and an autoregressive
+unit decoder.
+
+Everything runs as one jitted program. Train-time stochasticity (modality
+dropout) draws from a named PRNG stream ("modality") instead of host
+numpy (reference mm_s2s_transformer.py:497), preserving the batch-level
+draw distribution (SURVEY.md §7 hard part 6).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm_s2ut import registry
+from mm_s2ut.config import ModelConfig
+from mm_s2ut.models.decoder import CTCHead, UnitDecoder
+from mm_s2ut.models.fusion import FusionBlock, QFormer, modality_dropout
+from mm_s2ut.models.s2t_encoder import SpeechTransformerEncoder
+
+Dtype = Any
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+@registry.register_model("mm_s2ut_transformer")
+class MMS2UTModel(nn.Module):
+    """forward(batch) → {"logits", "encoder_padding_mask", ...}.
+
+    Batch keys (net_input parity with reference
+    models/mm_s2s_transformer.py:667-700):
+      src_features (B,T,F), src_lengths (B,),
+      prev_output_tokens (B,Tt),
+      imgs_list: tuple of (B,Ti,Di), img_masks_list: tuple of (B,Ti) True=pad,
+      tgt_speaker: (B,spk) optional.
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg, mm = self.cfg, self.cfg.multimodal
+        dtype = _dtype(cfg)
+        self.encoder = SpeechTransformerEncoder(
+            embed_dim=cfg.encoder_embed_dim,
+            ffn_dim=cfg.encoder_ffn_embed_dim,
+            num_layers=cfg.encoder_layers,
+            num_heads=cfg.encoder_attention_heads,
+            conv_channels=cfg.conv_channels,
+            conv_kernel_sizes=tuple(cfg.conv_kernel_sizes),
+            dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout,
+            activation=cfg.activation_fn,
+            normalize_before=cfg.encoder_normalize_before,
+            max_positions=cfg.max_source_positions,
+            dtype=dtype,
+        )
+        if cfg.speaker_embed_dim:
+            self.spk_emb_proj = nn.Dense(cfg.encoder_embed_dim, dtype=dtype)
+        if mm.multimodal_attention_type in ("selective_attention", "multimodal_attention"):
+            self.fusion_blocks = [
+                FusionBlock(
+                    embed_dim=cfg.encoder_embed_dim,
+                    image_dim=dim,
+                    attention_type=mm.multimodal_attention_type,
+                    use_selective_gate=mm.use_selective_gate,
+                    is_merge_text_img=mm.is_merge_text_img,
+                    image_pre_norm=mm.image_pre_norm,
+                    image_dropout=mm.SA_image_dropout,
+                    text_dropout=mm.SA_text_dropout,
+                    attention_dropout=mm.SA_attention_dropout,
+                    dtype=dtype,
+                    name=f"fusion{i}",
+                )
+                for i, dim in enumerate(mm.image_feat_dim)
+            ]
+        else:
+            self.fusion_blocks = []
+        # only_img ablation: image features stand in for the encoder output;
+        # project to model width when dims differ (the reference feeds the raw
+        # image dim and relies on matching dims — mm_s2s_transformer.py:515-523).
+        if mm.only_img and mm.image_feat_dim and mm.image_feat_dim[0] != cfg.encoder_embed_dim:
+            self.only_img_proj = nn.Dense(cfg.encoder_embed_dim, dtype=dtype)
+        self.decoder = UnitDecoder(
+            vocab_size=cfg.vocab_size,
+            embed_dim=cfg.decoder_embed_dim,
+            ffn_dim=cfg.decoder_ffn_embed_dim,
+            num_layers=cfg.decoder_layers,
+            num_heads=cfg.decoder_attention_heads,
+            dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout,
+            activation=cfg.activation_fn,
+            normalize_before=cfg.decoder_normalize_before,
+            share_input_output_embed=cfg.share_decoder_input_output_embed,
+            n_frames_per_step=cfg.n_frames_per_step,
+            max_positions=cfg.max_target_positions,
+            dtype=dtype,
+        )
+        if cfg.ctc_weight > 0:
+            self.ctc_head = CTCHead(cfg.vocab_size, dtype=dtype)
+
+    # -- encoder side --------------------------------------------------------
+
+    def encode(
+        self,
+        src_features: jnp.ndarray,
+        src_lengths: jnp.ndarray,
+        imgs_list: Sequence[jnp.ndarray] = (),
+        img_masks_list: Sequence[Optional[jnp.ndarray]] = (),
+        tgt_speaker: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg, mm = self.cfg, self.cfg.multimodal
+        imgs_list = list(imgs_list)
+        img_masks_list = list(img_masks_list) or [None] * len(imgs_list)
+
+        if mm.only_img:
+            img = imgs_list[0].astype(_dtype(cfg))
+            if hasattr(self, "only_img_proj"):
+                img = self.only_img_proj(img)
+            mask = img_masks_list[0]
+            if mask is None:
+                mask = jnp.zeros(img.shape[:2], bool)
+            return {"encoder_out": img, "encoder_padding_mask": mask, "encoder_states": []}
+
+        out = self.encoder(
+            src_features, src_lengths, deterministic=deterministic,
+            return_all_states=bool(self.fusion_blocks) and not mm.is_fusion_top,
+        )
+        x = out["encoder_out"]
+        padding_mask = out["encoder_padding_mask"]
+
+        if cfg.speaker_embed_dim and tgt_speaker is not None:
+            spk = jnp.broadcast_to(
+                tgt_speaker[:, None, :].astype(x.dtype),
+                (*x.shape[:2], tgt_speaker.shape[-1]),
+            )
+            x = self.spk_emb_proj(jnp.concatenate([x, spk], axis=-1))
+
+        if self.fusion_blocks and mm.is_fusion_top and imgs_list:
+            # Batch-level modality dropout, train only.
+            if not deterministic and mm.modality_dropout > 0:
+                x, imgs_list = modality_dropout(
+                    self.make_rng("modality"), x, imgs_list,
+                    mm.modality_dropout, mm.audio_dropout,
+                )
+            fused = []
+            mask = padding_mask
+            for block, img, img_mask in zip(self.fusion_blocks, imgs_list, img_masks_list):
+                res, mask = block(
+                    x, padding_mask, img.astype(x.dtype), img_mask,
+                    deterministic=deterministic,
+                )
+                fused.append(res)
+            # Sum combiner over image sources (reference f(xs,'sum'),
+            # mm_s2s_transformer.py:560,564-575).
+            x = fused[0]
+            for extra in fused[1:]:
+                x = x + extra
+            padding_mask = mask
+
+        return {
+            "encoder_out": x,
+            "encoder_padding_mask": padding_mask,
+            "encoder_states": out.get("encoder_states", []),
+        }
+
+    # -- full forward (training) ----------------------------------------------
+
+    def __call__(
+        self,
+        src_features: jnp.ndarray,
+        src_lengths: jnp.ndarray,
+        prev_output_tokens: jnp.ndarray,
+        imgs_list: Sequence[jnp.ndarray] = (),
+        img_masks_list: Sequence[Optional[jnp.ndarray]] = (),
+        tgt_speaker: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        enc = self.encode(
+            src_features, src_lengths, imgs_list, img_masks_list,
+            tgt_speaker, deterministic=deterministic,
+        )
+        logits = self.decoder(
+            prev_output_tokens,
+            enc["encoder_out"],
+            enc["encoder_padding_mask"],
+            deterministic=deterministic,
+        )
+        out = {
+            "logits": logits,
+            "encoder_out": enc["encoder_out"],
+            "encoder_padding_mask": enc["encoder_padding_mask"],
+        }
+        if self.cfg.ctc_weight > 0:
+            out["ctc_logits"] = self.ctc_head(enc["encoder_out"])
+        return out
+
+    # -- incremental decoding (beam search) ------------------------------------
+
+    def decode_init(self, enc: Dict[str, Any], max_len: int):
+        return self.decoder.init_state(
+            enc["encoder_out"], enc["encoder_padding_mask"], max_len
+        )
+
+    def decode_step(self, prev_token: jnp.ndarray, state):
+        return self.decoder.step(prev_token, state)
+
+
+@registry.register_model_architecture("mm_s2ut_transformer", "mm_s2ut_transformer")
+def mm_s2ut_architecture_base(cfg: ModelConfig) -> ModelConfig:
+    """Base hyperparameters (mirrors fairseq s2ut_architecture_base that the
+    reference arch registration delegates to — mm_s2s_transformer.py:703-710)."""
+    return cfg
+
+
+@registry.register_model_architecture("mm_s2ut_transformer", "mm_s2ut_transformer_small")
+def mm_s2ut_architecture_small(cfg: ModelConfig) -> ModelConfig:
+    cfg.encoder_embed_dim = 256
+    cfg.encoder_ffn_embed_dim = 1024
+    cfg.encoder_layers = 6
+    cfg.encoder_attention_heads = 4
+    cfg.decoder_embed_dim = 256
+    cfg.decoder_ffn_embed_dim = 1024
+    cfg.decoder_layers = 3
+    cfg.decoder_attention_heads = 4
+    return cfg

@@ -1,0 +1,96 @@
+"""Speech transformer encoder (conv-subsample branch).
+
+TPU-native equivalent of the fairseq ``S2TTransformerEncoder`` the
+reference subclasses (SURVEY.md F7; reference models/mm_s2s_transformer.py:87):
+(B, T, 80) log-mel features → 2× stride-2 Conv1d+GLU subsampler (4×) →
+scaled sinusoidal positions → N pre-norm transformer layers → final LN.
+
+Returns all layer states so in-layer/external fusion variants can consume
+per-layer speech representations (reference encoder_states usage at
+models/mm_s2s_transformer.py:536-556).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm_s2ut.models.layers import (
+    Conv1dSubsampler,
+    SinusoidalPositionalEmbedding,
+    TransformerEncoderLayer,
+    lengths_to_padding_mask,
+    make_padding_bias,
+)
+
+Dtype = Any
+
+
+class SpeechTransformerEncoder(nn.Module):
+    embed_dim: int = 512
+    ffn_dim: int = 2048
+    num_layers: int = 12
+    num_heads: int = 8
+    conv_channels: int = 1024
+    conv_kernel_sizes: Tuple[int, ...] = (5, 5)
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    max_positions: int = 6000
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,  # (B, T, F) fbank features
+        lengths: jnp.ndarray,  # (B,) valid frame counts
+        deterministic: bool = True,
+        return_all_states: bool = False,
+    ) -> dict:
+        x, lengths = Conv1dSubsampler(
+            mid_channels=self.conv_channels,
+            out_dim=self.embed_dim,
+            kernel_sizes=self.conv_kernel_sizes,
+            dtype=self.dtype,
+            name="subsampler",
+        )(features.astype(self.dtype), lengths)
+
+        x = x * math.sqrt(self.embed_dim)
+        x = SinusoidalPositionalEmbedding(
+            self.embed_dim, self.max_positions, dtype=self.dtype, name="pos"
+        )(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        padding_mask = lengths_to_padding_mask(lengths, x.shape[1])
+        bias = make_padding_bias(padding_mask, self.dtype)
+        # Zero out padded positions so they can't leak through convs/LN.
+        x = x * (~padding_mask)[..., None].astype(x.dtype)
+
+        states: List[jnp.ndarray] = []
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.embed_dim, self.ffn_dim, self.num_heads,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                activation_dropout=self.activation_dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(x, padding_bias=bias, deterministic=deterministic)
+            if return_all_states:
+                states.append(x)
+
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+
+        return {
+            "encoder_out": x,  # (B, T', D)
+            "encoder_padding_mask": padding_mask,  # (B, T') True=pad
+            "encoder_states": states,
+            "lengths": lengths,
+        }
