@@ -1,0 +1,217 @@
+"""Batched beam search as one fixed-shape jitted program.
+
+TPU-native replacement for fairseq's SequenceGenerator (SURVEY.md F6;
+invoked by the reference at scripts/textless/2_inference.sh:34-43 with
+--beam 10 --max-len-a 1 --max-len-b 200). Everything is static-shape:
+
+* the decode loop is a ``lax.while_loop`` with an early-exit condition
+  (all batches finished or no alive beam can beat the worst finished
+  hypothesis under the length penalty);
+* per-layer self-attention KV caches are preallocated (B·K, max_len, H, Dh)
+  and gathered along the beam axis after each top-k reorder;
+* cross-attention K/V is projected once from the encoder output and
+  tiled per beam — never recomputed, never reordered (all beams of a
+  batch element share it);
+* scoring follows fairseq: hypothesis score = Σ log p / (len)^lenpen,
+  candidates drawn from the top 2K so EOS never starves the beam.
+
+max_len follows the fairseq rule max_len = min(a·src_len + b, max_pos)
+(computed from the *padded* source frames at trace time: static shape,
+per-batch early exit handles the slack).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e7
+
+
+def _gather_beams(x: jnp.ndarray, indices: jnp.ndarray, batch: int, k_from: int) -> jnp.ndarray:
+    """Gather beams: x (B*Kf, ...) + indices (B, Kt) → (B*Kt, ...)."""
+    shape = x.shape
+    x = x.reshape(batch, k_from, *shape[1:])
+    out = jnp.take_along_axis(
+        x, indices.reshape(batch, -1, *([1] * (x.ndim - 2))), axis=1
+    )
+    return out.reshape(batch * indices.shape[1], *shape[1:])
+
+
+def _reorder_cache(state: Any, indices: jnp.ndarray, batch: int, k: int) -> Any:
+    """Reorder self-attention caches along the beam axis; cross caches and
+    biases are beam-invariant (tiled) and skipped."""
+    new_layers = []
+    for lstate in state["layers"]:
+        self_c = lstate["self"]
+        new_layers.append(
+            {
+                "self": {
+                    "k": _gather_beams(self_c["k"], indices, batch, k),
+                    "v": _gather_beams(self_c["v"], indices, batch, k),
+                    "index": self_c["index"],
+                },
+                "cross": lstate["cross"],
+            }
+        )
+    return {**state, "layers": new_layers}
+
+
+def _length_norm(length: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    return jnp.maximum(length, 1).astype(jnp.float32) ** alpha
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "decode_step",
+        "batch_size",
+        "beam_size",
+        "max_len",
+        "eos_id",
+        "bos_id",
+        "pad_id",
+        "vocab_size",
+        "len_penalty",
+        "unk_penalty",
+        "unk_id",
+    ),
+)
+def beam_search(
+    decode_step: Callable[[jnp.ndarray, Any], Tuple[jnp.ndarray, Any]],
+    init_state: Any,
+    batch_size: int,
+    *,
+    beam_size: int = 10,
+    max_len: int = 200,
+    eos_id: int = 2,
+    bos_id: int = 2,
+    pad_id: int = 1,
+    vocab_size: int = 1004,
+    len_penalty: float = 1.0,
+    unk_penalty: float = 0.0,
+    unk_id: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run beam search.
+
+    ``decode_step(tokens (N,1), state) -> (logits (N,V), state)`` where
+    N = batch_size·beam_size; ``init_state`` must already be tiled to N.
+    Returns (sequences (B, K, max_len) padded with pad_id — EOS included —
+    and scores (B, K) length-normalized, best first).
+    """
+    B, K, V = batch_size, beam_size, vocab_size
+
+    alive_seq = jnp.full((B, K, max_len + 1), pad_id, jnp.int32)
+    alive_seq = alive_seq.at[:, :, 0].set(bos_id)
+    # Only beam 0 is live initially (identical prefixes would duplicate).
+    alive_logp = jnp.tile(
+        jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None], (B, 1)
+    )
+    fin_seq = jnp.full((B, K, max_len + 1), pad_id, jnp.int32)
+    fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
+    fin_flags = jnp.zeros((B, K), bool)
+
+    def cond(carry):
+        step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, state = carry
+        not_done = step < max_len
+        # Best achievable normalized score from any alive beam:
+        best_alive = alive_logp[:, 0] / _length_norm(
+            jnp.asarray(max_len), len_penalty
+        )
+        worst_fin = jnp.where(fin_flags, fin_scores, NEG_INF).min(axis=1)
+        improvable = jnp.any(
+            jnp.logical_or(~fin_flags.all(axis=1), best_alive > worst_fin)
+        )
+        return jnp.logical_and(not_done, improvable)
+
+    def body(carry):
+        step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, state = carry
+        prev_tok = jax.lax.dynamic_slice_in_dim(
+            alive_seq.reshape(B * K, max_len + 1), step, 1, axis=1
+        )
+        logits, state = decode_step(prev_tok, state)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if unk_penalty != 0.0:
+            logp = logp.at[:, unk_id].add(-unk_penalty)
+        logp = logp.reshape(B, K, V)
+
+        cand = alive_logp[:, :, None] + logp  # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)
+        top_beam = top_idx // V  # (B, 2K)
+        top_tok = top_idx % V
+
+        # Candidate sequences (B, 2K, L+1).
+        seq2k = jnp.take_along_axis(alive_seq, top_beam[..., None], axis=1)
+        seq2k = jax.lax.dynamic_update_slice_in_dim(
+            seq2k, top_tok[..., None].astype(jnp.int32), step + 1, axis=2
+        )
+        is_eos = top_tok == eos_id
+
+        # ---- update finished set with EOS candidates ----
+        # normalized score; fairseq: sum_logprob / length^lenpen, length
+        # counts the generated tokens incl. EOS.
+        norm = _length_norm(jnp.asarray(step + 1), len_penalty)
+        cand_fin_scores = jnp.where(is_eos, top_scores / norm, NEG_INF)
+        all_fin_seq = jnp.concatenate([fin_seq, seq2k], axis=1)
+        all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
+        all_fin_flags = jnp.concatenate([fin_flags, is_eos], axis=1)
+        new_fin_scores, fin_top = jax.lax.top_k(all_fin_scores, K)
+        new_fin_seq = jnp.take_along_axis(all_fin_seq, fin_top[..., None], axis=1)
+        new_fin_flags = jnp.take_along_axis(all_fin_flags, fin_top, axis=1)
+
+        # ---- pick top-K non-EOS as the next alive set ----
+        alive_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        new_alive_logp, alive_top = jax.lax.top_k(alive_cand_scores, K)
+        new_alive_seq = jnp.take_along_axis(seq2k, alive_top[..., None], axis=1)
+        src_beam = jnp.take_along_axis(top_beam, alive_top, axis=1)  # (B, K)
+        state = _reorder_cache(state, src_beam, B, K)
+
+        return (
+            step + 1,
+            new_alive_seq,
+            new_alive_logp,
+            new_fin_seq,
+            new_fin_scores,
+            new_fin_flags,
+            state,
+        )
+
+    carry = (jnp.zeros((), jnp.int32), alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, init_state)
+    step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, _ = jax.lax.while_loop(
+        cond, body, carry
+    )
+
+    # Fall back to alive beams where nothing finished.
+    none_fin = ~fin_flags.any(axis=1)
+    alive_norm = alive_logp / _length_norm(step, len_penalty)
+    fin_seq = jnp.where(none_fin[:, None, None], alive_seq, fin_seq)
+    fin_scores = jnp.where(none_fin[:, None], alive_norm, fin_scores)
+    # Strip the BOS column: hypotheses are tokens 1..max_len.
+    return fin_seq[:, :, 1:], fin_scores
+
+
+def tile_state_for_beams(state: Any, beam_size: int) -> Any:
+    """Repeat every state leaf along the batch axis K times
+    (B, ...) → (B·K, ...), beams contiguous per batch element."""
+
+    def tile(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        return jnp.repeat(x, beam_size, axis=0)
+
+    return jax.tree_util.tree_map(tile, state)
+
+
+def trim_hypothesis(tokens, eos_id: int = 2, pad_id: int = 1):
+    """Host-side: cut a generated row at its first EOS (exclusive)."""
+    out = []
+    for t in tokens:
+        t = int(t)
+        if t == eos_id:
+            break
+        if t != pad_id:
+            out.append(t)
+    return out

@@ -60,11 +60,18 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch pytree with batch-dim sharding."""
+    """Device-put a host batch pytree with batch-dim sharding.
+
+    Leaves whose leading dim doesn't divide the data axis (e.g. a ragged
+    final batch) are replicated instead — correctness over placement.
+    """
+    n_data = mesh.shape[DATA_AXIS]
 
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, max(x.ndim, 1)))
+        if x.ndim >= 1 and x.shape[0] % n_data == 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated(mesh))
 
     return jax.tree_util.tree_map(put, batch)
 

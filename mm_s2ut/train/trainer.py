@@ -1,0 +1,275 @@
+"""Trainer: jitted sharded train step, checkpointing, metrics, train loop.
+
+TPU-native replacement for the fairseq Trainer (SURVEY.md F1/F4/F5,
+§3.1): the whole update — forward (bf16), loss, backward, clip, Adam,
+accumulation — is ONE compiled XLA program per bucket shape. Data
+parallelism comes from batch sharding over the mesh's ``data`` axis;
+gradient all-reduce is XLA-inserted over ICI (no DDP/NCCL). Checkpoints
+use orbax with best-metric tracking + partial restore (reference
+checkpoint_utils surface, SURVEY.md F5).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from mm_s2ut import registry
+from mm_s2ut.config import Config
+from mm_s2ut.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+)
+from mm_s2ut.train.optimizer import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def make_train_step(
+    model,
+    criterion: Callable,
+    tx: optax.GradientTransformation,
+    criterion_kwargs: Optional[Dict[str, Any]] = None,
+    rdrop_alpha: float = 0.0,
+) -> Callable:
+    """Build the jitted train step. ``batch`` must contain the model's
+    call kwargs plus ``target``. Loss is normalized by ntokens (fairseq
+    sample_size convention)."""
+    ckw = dict(criterion_kwargs or {})
+
+    def loss_fn(params, batch, rng):
+        d_rng, m_rng, b_rng = jax.random.split(rng, 3)
+        call = lambda r: model.apply(
+            params,
+            batch["src_features"],
+            batch["src_lengths"],
+            batch["prev_output_tokens"],
+            batch.get("imgs_list", ()),
+            batch.get("img_masks_list", ()),
+            batch.get("tgt_speaker"),
+            deterministic=False,
+            rngs={"dropout": r[0], "modality": r[1]},
+        )
+        outputs = call((d_rng, m_rng))
+        if rdrop_alpha > 0:
+            b1, b2 = jax.random.split(b_rng)
+            outputs_b = call((b1, b2))
+            loss, metrics = criterion(
+                outputs, batch, outputs_b=outputs_b, rdrop_alpha=rdrop_alpha, **ckw
+            )
+        else:
+            loss, metrics = criterion(outputs, batch, **ckw)
+        ntokens = jnp.maximum(metrics["ntokens"], 1.0)
+        return loss / ntokens, metrics
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model, criterion: Callable, criterion_kwargs=None) -> Callable:
+    ckw = dict(criterion_kwargs or {})
+
+    def eval_step(params, batch) -> Dict:
+        outputs = model.apply(
+            params,
+            batch["src_features"],
+            batch["src_lengths"],
+            batch["prev_output_tokens"],
+            batch.get("imgs_list", ()),
+            batch.get("img_masks_list", ()),
+            batch.get("tgt_speaker"),
+            deterministic=True,
+        )
+        _, metrics = criterion(outputs, batch, **ckw)
+        return metrics
+
+    return eval_step
+
+
+class Trainer:
+    """End-to-end training driver (epochs, logging, checkpoints, eval).
+
+    The inner step is compiled once per bucket shape; batches are
+    device-put with data-axis sharding before each call.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        model,
+        init_params,
+        criterion_name: str = "speech_to_unit",
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.tx = build_optimizer(cfg.train)
+        criterion = registry.get_criterion(criterion_name)
+        ckw = {
+            "label_smoothing": cfg.train.label_smoothing,
+            "ctc_weight": cfg.model.ctc_weight,
+        }
+        self._train_step = jax.jit(
+            make_train_step(
+                model, criterion, self.tx, ckw, rdrop_alpha=cfg.train.rdrop_alpha
+            ),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(make_eval_step(model, criterion, ckw))
+        with jax.set_mesh(self.mesh) if hasattr(jax, "set_mesh") else _nullcontext():
+            state = TrainState.create(init_params, self.tx)
+        shardings = TrainState(
+            step=replicated(self.mesh),
+            params=param_shardings(self.mesh, state.params),
+            opt_state=jax.tree_util.tree_map(
+                lambda _: replicated(self.mesh), state.opt_state,
+                is_leaf=lambda x: isinstance(x, jnp.ndarray),
+            ),
+        )
+        self.state = jax.device_put(state, shardings)
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.metrics_history: list = []
+        self._ckpt_mgr = None
+
+    # -- checkpointing -------------------------------------------------------
+
+    @property
+    def ckpt_mgr(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            path = Path(self.cfg.train.save_dir).absolute()
+            path.mkdir(parents=True, exist_ok=True)
+            options = ocp.CheckpointManagerOptions(
+                max_to_keep=self.cfg.train.keep_last_checkpoints,
+                best_fn=lambda m: m.get(self.cfg.train.best_checkpoint_metric, 0.0),
+                best_mode="max" if self.cfg.train.maximize_best_checkpoint_metric else "min",
+            )
+            self._ckpt_mgr = ocp.CheckpointManager(path, options=options)
+        return self._ckpt_mgr
+
+    def save_checkpoint(self, metrics: Optional[Dict[str, float]] = None):
+        import orbax.checkpoint as ocp
+
+        step = int(self.state.step)
+        self.ckpt_mgr.save(
+            step,
+            args=ocp.args.StandardSave({"params": self.state.params}),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self.ckpt_mgr.wait_until_finished()
+
+    def restore_checkpoint(self, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.ckpt_mgr.latest_step()
+        restored = self.ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore({"params": self.state.params})
+        )
+        self.state = self.state.replace(params=restored["params"])
+        return step
+
+    # -- loop ----------------------------------------------------------------
+
+    def train_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        batch = shard_batch(self.mesh, batch)
+        self.state, metrics = self._train_step(self.state, batch, self.rng)
+        return metrics
+
+    def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
+        totals: Dict[str, float] = {}
+        for batch in batches:
+            batch = shard_batch(self.mesh, batch)
+            m = jax.device_get(self._eval_step(self.state.params, batch))
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        ntok = max(totals.get("ntokens", 1.0), 1.0)
+        return {
+            "loss": totals.get("loss", 0.0) / ntok,
+            "nll_loss": totals.get("nll_loss", 0.0) / ntok,
+            "accuracy": totals.get("n_correct", 0.0) / ntok,
+            "ntokens": ntok,
+        }
+
+    def fit(
+        self,
+        train_iter: Callable[[], Iterator[Dict[str, np.ndarray]]],
+        valid_iter: Optional[Callable[[], Iterator[Dict[str, np.ndarray]]]] = None,
+        max_update: Optional[int] = None,
+    ):
+        cfg = self.cfg.train
+        max_update = max_update or cfg.max_update
+        log_every = cfg.log_interval
+        running: Dict[str, float] = {}
+        t0 = time.time()
+        while int(self.state.step) < max_update:
+            for batch in train_iter():
+                metrics = self.train_batch(batch)
+                step = int(self.state.step)
+                host = jax.device_get(metrics)
+                for k, v in host.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+                if step % log_every == 0 and step > 0:
+                    ntok = max(running.get("ntokens", 1.0), 1.0)
+                    logger.info(
+                        "step %d loss %.4f nll %.4f acc %.3f %.1f tok/s",
+                        step,
+                        running.get("loss", 0) / ntok,
+                        running.get("nll_loss", 0) / ntok,
+                        running.get("n_correct", 0) / ntok,
+                        ntok / max(time.time() - t0, 1e-6),
+                    )
+                    self.metrics_history.append({"step": step, **{k: v / ntok for k, v in running.items()}})
+                    running, t0 = {}, time.time()
+                if cfg.save_interval_updates and step % cfg.save_interval_updates == 0 and step > 0:
+                    valid_metrics = (
+                        self.evaluate(valid_iter()) if valid_iter is not None else {}
+                    )
+                    self.save_checkpoint(valid_metrics)
+                if step >= max_update:
+                    break
+        return self.state
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,163 @@
+"""Training-layer tests: criterion math, CTC, schedule, sharded train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mm_s2ut  # noqa: F401  (registration)
+from mm_s2ut import registry
+from mm_s2ut.config import Config, ModelConfig, MultimodalConfig, TrainConfig
+from mm_s2ut.models.mm_s2ut import MMS2UTModel
+from mm_s2ut.ops.ctc import ctc_greedy_decode, ctc_loss
+from mm_s2ut.train.criterion import kl_symmetric, label_smoothed_nll_loss
+from mm_s2ut.train.optimizer import build_optimizer, build_schedule
+from mm_s2ut.train.trainer import Trainer, TrainState, make_train_step
+
+
+def test_label_smoothed_ce_against_manual():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 5))
+    targets = jnp.array([[0, 2, 1], [3, 1, 1]])  # pad=1
+    loss, ntokens, m = label_smoothed_nll_loss(logits, targets, epsilon=0.1, pad_id=1)
+    logp = np.asarray(jax.nn.log_softmax(logits, -1))
+    expected = 0.0
+    for b, t in [(0, 0), (0, 1), (1, 0)]:
+        nll = -logp[b, t, int(targets[b, t])]
+        smooth = -logp[b, t].mean()
+        expected += 0.9 * nll + 0.1 * smooth
+    assert float(ntokens) == 3
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_kl_symmetric_zero_for_identical():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 5))
+    targets = jnp.array([[0, 2, 1], [3, 1, 1]])
+    assert abs(float(kl_symmetric(logits, logits, targets))) < 1e-6
+    other = logits + jax.random.normal(jax.random.PRNGKey(1), logits.shape)
+    assert float(kl_symmetric(logits, other, targets)) > 0
+
+
+def test_ctc_loss_against_torch():
+    torch = pytest.importorskip("torch")
+    B, T, V, L = 3, 11, 7, 4
+    rng = np.random.RandomState(0)
+    logits = rng.randn(B, T, V).astype(np.float32)
+    labels = rng.randint(1, V, (B, L)).astype(np.int32)
+    logit_lens = np.array([11, 9, 7])
+    label_lens = np.array([4, 3, 2])
+    got = np.asarray(
+        ctc_loss(jnp.asarray(logits), jnp.asarray(logit_lens), jnp.asarray(labels),
+                 jnp.asarray(label_lens), blank_id=0)
+    )
+    t_logp = torch.log_softmax(torch.tensor(logits), -1).transpose(0, 1)
+    want = torch.nn.functional.ctc_loss(
+        t_logp, torch.tensor(labels.astype(np.int64)),
+        torch.tensor(logit_lens), torch.tensor(label_lens),
+        blank=0, reduction="none",
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_greedy_decode():
+    # Frames argmax: [5 5 0 3 3 0 0 4] -> collapsed [5, 3, 4]
+    path = [5, 5, 0, 3, 3, 0, 0, 4]
+    logits = np.full((1, len(path), 6), -10.0, np.float32)
+    for t, v in enumerate(path):
+        logits[0, t, v] = 10.0
+    out = np.asarray(ctc_greedy_decode(jnp.asarray(logits), jnp.asarray([len(path)])))
+    assert [x for x in out[0] if x >= 0] == [5, 3, 4]
+
+
+def test_inverse_sqrt_schedule():
+    cfg = TrainConfig(lr=5e-4, warmup_updates=100, warmup_init_lr=1e-7)
+    s = build_schedule(cfg)
+    assert float(s(1)) < float(s(50)) < float(s(99))
+    np.testing.assert_allclose(float(s(100)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(s(400)), 5e-4 * 0.5, rtol=1e-5)
+
+
+def _tiny_cfg():
+    model = ModelConfig(
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        encoder_attention_heads=2, decoder_embed_dim=32, decoder_ffn_embed_dim=64,
+        decoder_layers=1, decoder_attention_heads=2, conv_channels=16,
+        vocab_size=30, dtype="float32",
+        multimodal=MultimodalConfig(
+            image_feat_dim=[8], multimodal_attention_type="selective_attention",
+            modality_dropout=0.3, audio_dropout=0.5,
+        ),
+    )
+    return Config(model=model, train=TrainConfig(update_freq=1, warmup_updates=10, lr=1e-3))
+
+
+def _batch(B=4, T=33, Tt=6):
+    rng = np.random.RandomState(0)
+    prev = rng.randint(4, 30, (B, Tt)).astype(np.int32)
+    target = np.roll(prev, -1, axis=1)
+    target[:, -1] = 2
+    return {
+        "src_features": rng.randn(B, T, 80).astype(np.float32),
+        "src_lengths": np.maximum(T - 7 * np.arange(B), 12),
+        "prev_output_tokens": prev,
+        "target": target,
+        "imgs_list": (rng.randn(B, 5, 8).astype(np.float32),),
+        "img_masks_list": (np.zeros((B, 5), bool),),
+    }
+
+
+def test_trainer_loss_decreases_on_overfit():
+    cfg = _tiny_cfg()
+    model = MMS2UTModel(cfg.model)
+    batch = _batch()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+    trainer = Trainer(cfg, model, params)
+    losses = []
+    for i in range(30):
+        m = jax.device_get(trainer.train_batch(batch))
+        losses.append(float(m["loss"]) / float(m["ntokens"]))
+    assert losses[-1] < losses[0] * 0.75, losses[:3] + losses[-3:]
+    assert int(trainer.state.step) == 30
+
+
+def test_train_step_dp_sharding():
+    """Gradient sync across the 8-device data-parallel mesh: train step runs
+    with batch sharded over 'data' and params replicated."""
+    cfg = _tiny_cfg()
+    cfg.mesh.data = 8
+    model = MMS2UTModel(cfg.model)
+    batch = _batch(B=8)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+    trainer = Trainer(cfg, model, params)
+    m = jax.device_get(trainer.train_batch(batch))
+    assert np.isfinite(float(m["loss"]))
+    # Params remain replicated after the update.
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_cfg()
+    cfg.train.save_dir = str(tmp_path / "ckpt")
+    model = MMS2UTModel(cfg.model)
+    batch = _batch()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+    trainer = Trainer(cfg, model, params)
+    trainer.train_batch(batch)
+    trainer.save_checkpoint({"loss": 1.0})
+    before = jax.device_get(trainer.state.params)
+    trainer.train_batch(batch)
+    trainer.restore_checkpoint()
+    after = jax.device_get(trainer.state.params)
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(before, after)
