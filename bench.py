@@ -1,0 +1,125 @@
+"""Benchmark: end-to-end S2UT generation throughput on one TPU chip.
+
+Pipeline measured (BASELINE.json config 4 shape): 16 kHz waveform batch →
+on-device kaldi fbank → flagship mm_s2ut_transformer encoder with
+selective-attention image fusion (577×768 ViT features) → beam-5 unit
+decode, 200 steps (the reference operating point is beam 10 /
+max-len-b 200 — scripts/textless/2_inference.sh).
+
+Methodology: the whole pipeline is wrapped in ``lax.scan`` over N batches
+inside ONE compiled program, and throughput is computed from the marginal
+time between an N1-iteration and an N2-iteration run (two-point measure),
+which cancels the fixed dispatch/relay latency of the dev-tunnel TPU.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+we normalize against an estimated 10 utt/s for fairseq-generate at the
+reference operating point (beam 10, ~10 s utterances, single A100). The
+BASELINE.json target is ≥10× that, i.e. vs_baseline ≥ 10.
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+BASELINE_UTT_PER_SEC = 10.0  # estimated fairseq-generate throughput (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
+    from mm_s2ut.models.mm_s2ut import MMS2UTModel
+    from mm_s2ut.ops.fbank import FbankConfig, batched_log_mel_fbank
+
+    B, SECONDS, SR = 8, 10, 16000
+    BEAM, MAX_LEN = 5, 200
+    N1, N2 = 2, 10
+
+    cfg = _flagship_cfg()
+    model = MMS2UTModel(cfg)
+    rng = np.random.RandomState(0)
+    imgs = (rng.randn(B, 577, 768).astype(np.float32),)
+    img_masks = (np.zeros((B, 577), bool),)
+    wav_lengths = np.full((B,), SECONDS * SR, np.int32)
+
+    fbank_cfg = FbankConfig()
+    feats0, fl0 = batched_log_mel_fbank(
+        jnp.asarray(rng.randn(B, SECONDS * SR).astype(np.float32)),
+        jnp.asarray(wav_lengths), fbank_cfg,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), feats0, fl0,
+        np.zeros((B, 8), np.int32), imgs, img_masks,
+    )
+
+    def one_batch(params, wavs, wav_lengths, imgs, img_masks):
+        feats, frame_lens = batched_log_mel_fbank(
+            wavs * 32768.0, wav_lengths, fbank_cfg
+        )
+        enc = model.apply(
+            params, feats, frame_lens, imgs, img_masks, None,
+            deterministic=True, method=model.encode,
+        )
+        state = model.apply(params, enc, MAX_LEN + 1, method=model.decode_init)
+        state = tile_state_for_beams(state, BEAM)
+
+        def decode_step(tokens, st):
+            return model.apply(params, tokens, st, method=model.decode_step)
+
+        seqs, scores = beam_search(
+            decode_step, state, B, beam_size=BEAM, max_len=MAX_LEN,
+            eos_id=2, bos_id=2, pad_id=1, vocab_size=cfg.vocab_size,
+        )
+        return seqs, scores
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_n(params, all_wavs, wav_lengths, imgs, img_masks, n):
+        def step(carry, wavs):
+            seqs, scores = one_batch(params, wavs, wav_lengths, imgs, img_masks)
+            return carry + scores.sum() + seqs.sum(), None
+
+        out, _ = jax.lax.scan(
+            step, jnp.zeros((), jnp.float32), all_wavs[:n], length=n
+        )
+        return out
+
+    wavs_n2 = (rng.randn(N2, B, SECONDS * SR) * 0.1).astype(np.float32)
+    args = (params, jnp.asarray(wavs_n2), jnp.asarray(wav_lengths),
+            tuple(jnp.asarray(x) for x in imgs),
+            tuple(jnp.asarray(x) for x in img_masks))
+
+    def timed(n):
+        # warmup/compile
+        float(run_n(*args, n=n))
+        t0 = time.perf_counter()
+        float(run_n(*args, n=n))  # float() forces a host fetch = completion
+        return time.perf_counter() - t0
+
+    t1, t2 = timed(N1), timed(N2)
+    marginal = max(t2 - t1, 1e-9) / (N2 - N1)
+    utt_per_sec = B / marginal
+    rtf = B * SECONDS / marginal
+
+    print(json.dumps({
+        "metric": "e2e_s2ut_beam5_utterances_per_sec",
+        "value": round(utt_per_sec, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
+        "extra": {
+            "rtf_x_realtime": round(rtf, 1),
+            "beam": BEAM, "decode_steps": MAX_LEN, "batch": B,
+            "sec_per_batch": round(marginal, 4),
+            "t_n1": round(t1, 3), "t_n2": round(t2, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,19 +74,28 @@ def sinusoidal_positions(
 
 
 class SinusoidalPositionalEmbedding(nn.Module):
+    """Computed in-graph (sin/cos on iota) rather than as a baked table:
+    no multi-MB HLO constant, trivially fused by XLA on the VPU."""
+
     dim: int
-    max_len: int = 8192
+    max_len: int = 8192  # kept for API parity; positions are unbounded
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, offset: jnp.ndarray | int = 0) -> jnp.ndarray:
         """x: (B, T, D). offset: scalar start position (decode step)."""
-        table = jnp.asarray(sinusoidal_positions(self.max_len, self.dim))
         t = x.shape[1]
-        if isinstance(offset, int) and offset == 0:
-            pe = table[:t]
-        else:
-            pe = jax.lax.dynamic_slice_in_dim(table, offset, t, 0)
+        half = self.dim // 2
+        emb = math.log(10000.0) / (half - 1)
+        freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+        # Fairseq convention: positions start at padding_idx + 1 = 2.
+        pos = jnp.arange(t, dtype=jnp.float32) + 2.0
+        if not (isinstance(offset, int) and offset == 0):
+            pos = pos + jnp.asarray(offset, jnp.float32)
+        args = pos[:, None] * freqs[None, :]
+        pe = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+        if self.dim % 2:
+            pe = jnp.pad(pe, ((0, 0), (0, 1)))
         return x + pe[None].astype(self.dtype)
 
 
