@@ -1,0 +1,159 @@
+"""Task: ``multimodal_speech_to_speech`` (textless S2UT).
+
+TPU-native equivalent of the reference task layer (SURVEY.md C1; reference
+tasks/speech_to_speech.py:33-123): wires the typed config →
+dataset/dictionary → model → criterion → trainer, seeds globals, and owns
+the *device frontend* — a jitted program that turns padded waveform
+batches into standardized log-mel features on the TPU (replacing the
+reference's num-workers=8 CPU fbank path, SURVEY.md §3.1).
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm_s2ut import registry
+from mm_s2ut.config import Config, DataConfig, MultimodalConfig, NoiseConfig
+from mm_s2ut.data.bucketing import LengthBucketBatcher
+from mm_s2ut.data.dataset import SpeechToSpeechDataset
+from mm_s2ut.data.dictionary import Dictionary, UnitDictionary
+from mm_s2ut.models.mm_s2ut import MMS2UTModel
+from mm_s2ut.ops.fbank import FbankConfig, batched_log_mel_fbank, standardize
+from mm_s2ut.utils.seed import set_seed
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("fbank_cfg", "do_standardize"))
+def waveform_frontend(
+    waveforms: jnp.ndarray,
+    lengths: jnp.ndarray,
+    fbank_cfg: FbankConfig,
+    do_standardize: bool = False,
+):
+    """(B, S) padded waveforms → ((B, T, M) log-mels, (B,) frame lengths).
+
+    Waveforms are rescaled to int16 range first for kaldi parity
+    (reference data/audio_utils.py:289-290)."""
+    feats, frame_lens = batched_log_mel_fbank(
+        waveforms * 32768.0, lengths, fbank_cfg
+    )
+    if do_standardize:
+        feats = standardize(feats, frame_lens)
+    return feats, frame_lens
+
+
+@registry.register_task("multimodal_speech_to_speech")
+class MultiModalSpeechToSpeechTask:
+    def __init__(self, cfg: Config, tgt_dict: Optional[Dictionary] = None):
+        self.cfg = cfg
+        self.root_key = set_seed(cfg.train.seed)
+        self.tgt_dict = tgt_dict or self._build_dictionary()
+        cfg.model.vocab_size = len(self.tgt_dict)
+        cfg.model.n_frames_per_step = cfg.data.n_frames_per_step
+        self.datasets: Dict[str, SpeechToSpeechDataset] = {}
+        self.fbank_cfg = FbankConfig(
+            sample_rate=cfg.data.sample_rate, num_mel_bins=cfg.data.num_mel_bins
+        )
+
+    # -- setup ---------------------------------------------------------------
+
+    def _build_dictionary(self) -> Dictionary:
+        data = self.cfg.data
+        vocab_path = Path(data.data_root) / data.vocab_filename if data.data_root else None
+        if vocab_path and vocab_path.exists():
+            d = Dictionary.load(vocab_path)
+            logger.info("loaded dictionary %s (%d symbols)", vocab_path, len(d))
+            return d
+        lang_tags = []
+        if data.prepend_bos_and_append_tgt_lang_tag and data.tgt_lang:
+            tag = data.tgt_lang if data.tgt_lang.startswith("<lang:") else f"<lang:{data.tgt_lang}>"
+            lang_tags.append(tag)
+        return UnitDictionary(data.target_code_size, lang_tags)
+
+    def load_dataset(self, split: str) -> SpeechToSpeechDataset:
+        if split not in self.datasets:
+            self.datasets[split] = SpeechToSpeechDataset.from_tsv(
+                self.cfg.data.data_root,
+                split,
+                self.cfg.data,
+                self.tgt_dict,
+                mm_cfg=self.cfg.model.multimodal,
+                noise_cfg=self.cfg.data.noise,
+                seed=self.cfg.train.seed,
+            )
+        return self.datasets[split]
+
+    def build_model(self) -> MMS2UTModel:
+        arch_name = self.cfg.model.arch
+        if arch_name in registry.available("arch"):
+            _, arch_fn = registry.get_arch(arch_name)
+            arch_fn(self.cfg.model)
+        return MMS2UTModel(self.cfg.model)
+
+    def init_params(self, model: MMS2UTModel):
+        ds = next(iter(self.datasets.values()), None)
+        n_imgs = len(self.cfg.model.multimodal.image_feat_path) or len(
+            self.cfg.model.multimodal.image_feat_dim
+        )
+        B, T, Tt = 2, 64, 8
+        feats = np.zeros((B, T, self.cfg.data.num_mel_bins), np.float32)
+        lengths = np.full((B,), T, np.int32)
+        prev = np.zeros((B, Tt), np.int32)
+        imgs = tuple(
+            np.zeros((B, 8, d), np.float32)
+            for d in self.cfg.model.multimodal.image_feat_dim[:n_imgs]
+        )
+        masks = tuple(np.zeros((B, 8), bool) for _ in imgs)
+        return model.init(self.root_key, feats, lengths, prev, imgs, masks)
+
+    # -- batching -------------------------------------------------------------
+
+    def batch_iterator(
+        self, split: str, epoch: int = 0, shuffle: Optional[bool] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Host collation (waveforms, bucket-padded) → device fbank →
+        model-ready batches with ``src_features`` as log-mels."""
+        ds = self.load_dataset(split)
+        data = self.cfg.data
+        shuffle = ds.is_train if shuffle is None else shuffle
+        # max_tokens is in fbank frames (reference convention); waveform
+        # samples = frames * frame_shift.
+        shift = self.fbank_cfg.frame_shift
+        batcher = LengthBucketBatcher(
+            [ds.num_frames(i) * shift for i in range(len(ds))],
+            [ds.num_target_frames(i) + 2 for i in range(len(ds))],
+            max_tokens=data.max_tokens * shift,
+            num_buckets=data.num_buckets,
+            quantum=shift * 32,
+            seed=self.cfg.train.seed,
+        )
+        for bucket, idx in batcher.epoch(epoch, shuffle=shuffle):
+            items = [ds[int(i)] for i in idx]
+            batch = ds.collate(items, src_pad=bucket.src_len, tgt_pad=bucket.tgt_len)
+            feats, frame_lens = waveform_frontend(
+                jnp.asarray(batch["src_features"]),
+                jnp.asarray(batch["src_lengths"]),
+                self.fbank_cfg,
+                data.standardize_audio,
+            )
+            batch["src_features"] = feats
+            batch["src_lengths"] = frame_lens
+            yield batch
+
+    # -- convenience ----------------------------------------------------------
+
+    def build_trainer(self, criterion: str = "speech_to_unit"):
+        from mm_s2ut.train.trainer import Trainer
+
+        model = self.build_model()
+        params = self.init_params(model)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        logger.info("model %s: %.1fM params", self.cfg.model.arch, n_params / 1e6)
+        return Trainer(self.cfg, model, params, criterion_name=criterion)

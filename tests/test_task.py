@@ -1,0 +1,101 @@
+"""End-to-end task test: TSV corpus → device fbank → train steps → beam
+decode — the minimum vertical slice (SURVEY.md §7)."""
+import numpy as np
+import pytest
+
+import mm_s2ut  # noqa: F401
+from mm_s2ut import registry
+from mm_s2ut.config import Config, DataConfig, ModelConfig, MultimodalConfig, TrainConfig
+from mm_s2ut.data.audio_io import write_wav
+from mm_s2ut.data.manifest import ManifestRow, write_manifest
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("corpus")
+    sr = 16000
+    rng = np.random.RandomState(0)
+    n = 8
+    rows = []
+    feat_dir = tmp_path / "img_feat"
+    feat_dir.mkdir()
+    np.save(feat_dir / "train.npy", rng.randn(n, 6, 16).astype(np.float32))
+    np.save(feat_dir / "valid.npy", rng.randn(n, 6, 16).astype(np.float32))
+    for i in range(n):
+        length = sr // 4 + (i % 3) * sr // 8
+        wav = (0.3 * rng.randn(length)).astype(np.float32)
+        write_wav(tmp_path / f"{i + 1}.wav", wav, sr)
+        units = " ".join(str(u) for u in rng.randint(0, 50, 8 + i % 4))
+        rows.append(ManifestRow(str(i), f"{i + 1}.wav", length, units, 8 + i % 4))
+    write_manifest(tmp_path / "train.tsv", rows)
+    write_manifest(tmp_path / "valid.tsv", rows[:4])
+    return tmp_path
+
+
+def make_cfg(corpus):
+    return Config(
+        model=ModelConfig(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+            encoder_attention_heads=2, decoder_embed_dim=32,
+            decoder_ffn_embed_dim=64, decoder_layers=1,
+            decoder_attention_heads=2, conv_channels=16, dtype="float32",
+            multimodal=MultimodalConfig(
+                image_feat_path=[str(corpus / "img_feat")],
+                image_feat_dim=[16],
+                multimodal_attention_type="selective_attention",
+            ),
+        ),
+        data=DataConfig(
+            data_root=str(corpus), audio_root=str(corpus),
+            target_code_size=50, max_tokens=400, num_buckets=2,
+        ),
+        train=TrainConfig(update_freq=1, warmup_updates=5, lr=1e-3, seed=3),
+        mesh=__import__("mm_s2ut.config", fromlist=["MeshConfig"]).MeshConfig(data=1),
+    )
+
+
+def test_task_registered():
+    assert "multimodal_speech_to_speech" in registry.available("task")
+
+
+def test_task_end_to_end(corpus):
+    TaskCls = registry.get_task("multimodal_speech_to_speech")
+    task = TaskCls(make_cfg(corpus))
+    assert len(task.tgt_dict) == 54  # 4 specials + 50 units
+
+    batches = list(task.batch_iterator("train", epoch=0))
+    assert batches
+    b = batches[0]
+    assert b["src_features"].ndim == 3 and b["src_features"].shape[-1] == 80
+    assert b["imgs_list"][0].shape[-1] == 16
+
+    trainer = task.build_trainer()
+    seen = 0
+    for epoch in range(2):
+        for batch in task.batch_iterator("train", epoch=epoch):
+            m = trainer.train_batch(batch)
+            seen += 1
+    assert seen >= 4
+    ev = trainer.evaluate(task.batch_iterator("valid", shuffle=False))
+    assert np.isfinite(ev["loss"])
+
+    # Greedy/beam decode through the generator on one batch.
+    from mm_s2ut.config import GenerationConfig
+    from mm_s2ut.infer.generator import UnitGenerator, format_generation_output
+
+    gen = UnitGenerator(
+        trainer.model, trainer.state.params,
+        GenerationConfig(beam=2, max_len_a=0, max_len_b=12),
+    )
+    hyps = gen.generate(
+        np.asarray(b["src_features"]), np.asarray(b["src_lengths"]),
+        tuple(np.asarray(x) for x in b["imgs_list"]),
+        tuple(np.asarray(x) for x in b["img_masks_list"]),
+    )
+    assert len(hyps) == b["src_features"].shape[0]
+    lines = format_generation_output(
+        b["id"].tolist(), hyps, task.tgt_dict,
+        targets=[t[t != 1].tolist() for t in np.asarray(b["target"])],
+    )
+    assert any(l.startswith("D-") for l in lines)
+    assert any(l.startswith("T-") for l in lines)
