@@ -1,0 +1,344 @@
+"""Unit HiFi-GAN vocoder with duration prediction — device-side unit→wav.
+
+TPU-native re-design of fairseq's CodeHiFiGANVocoder (SURVEY.md F11; the
+reference vocodes via generate_waveform_from_code.py --vocoder code_hifigan
+--dur-prediction, scripts/3_generate_waveform.sh:28-32):
+
+* unit ids → embedding → (optional) duration predictor → length-regulated
+  frame sequence → transposed-conv upsample stack with multi-receptive-
+  field (MRF) resblocks → tanh waveform;
+* the data-dependent repeat_interleave is static-shape: durations are
+  cumsum'd and frames gather their unit via searchsorted, padded to a
+  fixed frame budget with a validity mask (SURVEY.md §7 hard part 5);
+* convs run as XLA NTC convolutions (MXU); weight norm is folded at
+  load time (inference graphs carry plain kernels);
+* ``load_fairseq_checkpoint`` converts the published torch vocoder
+  weights to this module's params so the reference's checkpoints work
+  unchanged.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig:
+    """Mirrors the fairseq/config.json surface of code_hifigan."""
+
+    num_embeddings: int = 1000
+    embedding_dim: int = 128
+    model_in_dim: int = 128
+    upsample_initial_channel: int = 512
+    upsample_rates: Tuple[int, ...] = (5, 4, 4, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (11, 8, 8, 4, 4)
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5),
+    )
+    # Duration predictor (var_pred_* keys in fairseq config).
+    dur_prediction: bool = True
+    var_pred_hidden_dim: int = 128
+    var_pred_kernel_size: int = 3
+    var_pred_dropout: float = 0.5
+    # Optional speaker conditioning.
+    num_speakers: int = 0
+    speaker_embedding_dim: int = 0
+
+    @property
+    def hop_length(self) -> int:
+        h = 1
+        for r in self.upsample_rates:
+            h *= r
+        return h
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "HiFiGANConfig":
+        raw = json.loads(Path(path).read_text())
+        def tup(x):
+            return tuple(tuple(i) if isinstance(i, (list, tuple)) else i for i in x)
+        return cls(
+            num_embeddings=raw.get("num_embeddings", 1000),
+            embedding_dim=raw.get("embedding_dim", 128),
+            model_in_dim=raw.get("model_in_dim", raw.get("embedding_dim", 128)),
+            upsample_initial_channel=raw.get("upsample_initial_channel", 512),
+            upsample_rates=tuple(raw.get("upsample_rates", (5, 4, 4, 2, 2))),
+            upsample_kernel_sizes=tuple(raw.get("upsample_kernel_sizes", (11, 8, 8, 4, 4))),
+            resblock_kernel_sizes=tuple(raw.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tup(raw.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)),
+            dur_prediction=bool(raw.get("dur_prediction_weight", raw.get("dur_prediction", True))),
+            var_pred_hidden_dim=raw.get("var_pred_hidden_dim", 128),
+            var_pred_kernel_size=raw.get("var_pred_kernel_size", 3),
+            var_pred_dropout=raw.get("var_pred_dropout", 0.5),
+            num_speakers=raw.get("num_speakers", 0),
+            speaker_embedding_dim=raw.get("speaker_embedding_dim", 0),
+        )
+
+
+class ResBlock(nn.Module):
+    """MRF residual block: pairs of dilated/plain convs with leaky ReLU."""
+
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            h = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            pad = (self.kernel_size - 1) * d // 2
+            h = nn.Conv(
+                self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                padding=[(pad, pad)], dtype=self.dtype, name=f"convs1_{i}",
+            )(h)
+            h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+            pad = (self.kernel_size - 1) // 2
+            h = nn.Conv(
+                self.channels, (self.kernel_size,),
+                padding=[(pad, pad)], dtype=self.dtype, name=f"convs2_{i}",
+            )(h)
+            x = x + h
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    cfg: HiFiGANConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, model_in_dim) frames → (B, T·hop) waveform in [-1, 1]."""
+        c = self.cfg
+        x = nn.Conv(
+            c.upsample_initial_channel, (7,), padding=[(3, 3)],
+            dtype=self.dtype, name="conv_pre",
+        )(x)
+        n_res = len(c.resblock_kernel_sizes)
+        for i, (rate, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            ch = c.upsample_initial_channel // (2 ** (i + 1))
+            # ConvTranspose with torch-compatible output length T·rate:
+            # torch uses padding=(k-rate)//2 on both sides of the full output.
+            x = nn.ConvTranspose(
+                ch, (k,), strides=(rate,), padding="VALID",
+                dtype=self.dtype, name=f"ups_{i}",
+            )(x)
+            trim = (k - rate) // 2
+            if trim > 0:
+                x = x[:, trim:-trim]
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+            ):
+                h = ResBlock(ch, rk, tuple(rd), dtype=self.dtype,
+                             name=f"resblocks_{i * n_res + j}")(x)
+                acc = h if acc is None else acc + h
+            x = acc / n_res
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=self.dtype, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+class DurationPredictor(nn.Module):
+    """fairseq VarancePredictor: conv→ReLU→LN→drop ×2 → linear → log-dur."""
+
+    hidden: int = 128
+    kernel_size: int = 3
+    dropout: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        pad = (self.kernel_size - 1) // 2
+        for i in range(2):
+            x = nn.Conv(
+                self.hidden, (self.kernel_size,), padding=[(pad, pad)],
+                dtype=self.dtype, name=f"conv{i + 1}",
+            )(x)
+            x = jax.nn.relu(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i + 1}")(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(1, dtype=self.dtype, name="proj")(x)[..., 0]
+
+
+def length_regulate(
+    embeddings: jnp.ndarray,  # (B, L, D)
+    durations: jnp.ndarray,  # (B, L) int, 0 for padding units
+    max_frames: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape repeat_interleave: frame t takes the unit whose
+    cumulative duration first exceeds t. Returns ((B, max_frames, D),
+    (B,) valid frame counts)."""
+    csum = jnp.cumsum(durations, axis=1)  # (B, L)
+    t = jnp.arange(max_frames)
+    # idx[b, t] = first l with csum[b, l] > t
+    idx = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)
+    idx = jnp.minimum(idx, embeddings.shape[1] - 1)
+    frames = jnp.take_along_axis(embeddings, idx[..., None], axis=1)
+    total = csum[:, -1]
+    mask = (t[None, :] < total[:, None]).astype(embeddings.dtype)
+    return frames * mask[..., None], total
+
+
+class CodeHiFiGAN(nn.Module):
+    """Unit-sequence → waveform, with optional duration prediction."""
+
+    cfg: HiFiGANConfig
+    max_frames: int = 2048  # frame budget after length regulation
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.dict_embed = nn.Embed(
+            c.num_embeddings, c.embedding_dim, dtype=self.dtype, name="dict"
+        )
+        if c.dur_prediction:
+            self.dur_predictor = DurationPredictor(
+                c.var_pred_hidden_dim, c.var_pred_kernel_size,
+                c.var_pred_dropout, dtype=self.dtype,
+            )
+        if c.num_speakers:
+            self.spkr_embed = nn.Embed(
+                c.num_speakers, c.speaker_embedding_dim, dtype=self.dtype, name="spkr"
+            )
+        self.generator = HiFiGANGenerator(c, dtype=self.dtype)
+
+    def __call__(
+        self,
+        units: jnp.ndarray,  # (B, L) unit ids (0..num_embeddings-1)
+        unit_lengths: Optional[jnp.ndarray] = None,  # (B,)
+        dur_prediction: bool = True,
+        speaker: Optional[jnp.ndarray] = None,  # (B,) speaker ids
+        durations: Optional[jnp.ndarray] = None,  # (B, L) optional gold durs
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns ((B, max_frames·hop) waveform, (B,) valid sample counts)."""
+        c = self.cfg
+        B, L = units.shape
+        if unit_lengths is None:
+            unit_lengths = jnp.full((B,), L, jnp.int32)
+        valid = jnp.arange(L)[None, :] < unit_lengths[:, None]
+        emb = self.dict_embed(units)
+
+        if durations is not None:
+            dur = durations
+        elif c.dur_prediction and dur_prediction:
+            # Input to the predictor is the (deduped) unit sequence — the
+            # reference dedups units upstream (--reduce-unit data prep).
+            log_dur = self.dur_predictor(emb)
+            dur = jnp.clip(jnp.round(jnp.exp(log_dur) - 1.0), 1.0, None).astype(jnp.int32)
+        else:
+            dur = jnp.ones((B, L), jnp.int32)
+        dur = dur * valid.astype(jnp.int32)
+
+        frames, n_frames = length_regulate(emb, dur, self.max_frames)
+
+        if c.num_speakers and speaker is not None:
+            spk = self.spkr_embed(speaker)[:, None, :]
+            frames = jnp.concatenate(
+                [frames, jnp.broadcast_to(spk, (B, frames.shape[1], spk.shape[-1]))],
+                axis=-1,
+            )
+
+        wav = self.generator(frames)
+        return wav, n_frames * c.hop_length
+
+
+# ---------------------------------------------------------------------------
+# fairseq checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def _fold_weight_norm(sd: Dict[str, Any], prefix: str) -> np.ndarray:
+    """Fold weight_g/weight_v into a plain kernel (torch layout)."""
+    if f"{prefix}.weight" in sd:
+        return sd[f"{prefix}.weight"].numpy()
+    g = sd[f"{prefix}.weight_g"].numpy()
+    v = sd[f"{prefix}.weight_v"].numpy()
+    norm = np.sqrt((v**2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / norm
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d (out, in, k) → flax (k, in, out)."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def _convT_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose1d (in, out, k) → flax ConvTranspose (k, in, out),
+    with the kernel flipped (torch convT cross-correlates the flipped way)."""
+    return np.transpose(w, (2, 0, 1))[::-1].copy()
+
+
+def load_fairseq_checkpoint(
+    ckpt_path: str | Path, cfg: HiFiGANConfig
+) -> Dict[str, Any]:
+    """Convert a fairseq CodeHiFiGANVocoder state_dict (.pt) to params for
+    :class:`CodeHiFiGAN` (cites reference use:
+    --vocoder code_hifigan, scripts/3_generate_waveform.sh:28-32)."""
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    if "generator" in sd:
+        sd = sd["generator"]
+    sd = {k.replace("model.", "", 1) if k.startswith("model.") else k: v for k, v in sd.items()}
+
+    p: Dict[str, Any] = {}
+    p["dict"] = {"embedding": sd["dict.weight"].numpy()}
+    gen: Dict[str, Any] = {}
+    gen["conv_pre"] = {
+        "kernel": _conv_kernel(_fold_weight_norm(sd, "conv_pre")),
+        "bias": sd["conv_pre.bias"].numpy(),
+    }
+    n_res = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        gen[f"ups_{i}"] = {
+            "kernel": _convT_kernel(_fold_weight_norm(sd, f"ups.{i}")),
+            "bias": sd[f"ups.{i}.bias"].numpy(),
+        }
+    for r in range(len(cfg.upsample_rates) * n_res):
+        blk: Dict[str, Any] = {}
+        dil = cfg.resblock_dilation_sizes[r % n_res]
+        for j in range(len(dil)):
+            for which in ("convs1", "convs2"):
+                blk[f"{which}_{j}"] = {
+                    "kernel": _conv_kernel(
+                        _fold_weight_norm(sd, f"resblocks.{r}.{which}.{j}")
+                    ),
+                    "bias": sd[f"resblocks.{r}.{which}.{j}.bias"].numpy(),
+                }
+        gen[f"resblocks_{r}"] = blk
+    gen["conv_post"] = {
+        "kernel": _conv_kernel(_fold_weight_norm(sd, "conv_post")),
+        "bias": sd["conv_post.bias"].numpy(),
+    }
+    p["generator"] = gen
+
+    if cfg.dur_prediction and "dur_predictor.conv1.0.weight" in sd:
+        dp: Dict[str, Any] = {}
+        for i in (1, 2):
+            dp[f"conv{i}"] = {
+                "kernel": _conv_kernel(sd[f"dur_predictor.conv{i}.0.weight"].numpy()),
+                "bias": sd[f"dur_predictor.conv{i}.0.bias"].numpy(),
+            }
+            dp[f"ln{i}"] = {
+                "scale": sd[f"dur_predictor.ln{i}.weight"].numpy(),
+                "bias": sd[f"dur_predictor.ln{i}.bias"].numpy(),
+            }
+        dp["proj"] = {
+            "kernel": sd["dur_predictor.proj.weight"].numpy().T,
+            "bias": sd["dur_predictor.proj.bias"].numpy(),
+        }
+        p["dur_predictor"] = dp
+    if cfg.num_speakers and "spkr.weight" in sd:
+        p["spkr"] = {"embedding": sd["spkr.weight"].numpy()}
+    return {"params": p}
