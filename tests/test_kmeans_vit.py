@@ -1,0 +1,164 @@
+"""k-means quantizer and ViT encoder tests (incl. torch parity of the
+timm-format checkpoint converter)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mm_s2ut.ops.kmeans import (
+    KMeansQuantizer,
+    dedup_units,
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_plusplus_init,
+    squared_distances,
+)
+from mm_s2ut.models.vit import (
+    ViTConfig,
+    VisionTransformer,
+    attention_rollout,
+    convert_timm_state_dict,
+    preprocess_images,
+)
+
+
+def test_distances_match_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.randn(17, 5).astype(np.float32)
+    c = rng.randn(4, 5).astype(np.float32)
+    got = np.asarray(squared_distances(jnp.asarray(x), jnp.asarray(c)))
+    want = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(kmeans_assign(jnp.asarray(x), jnp.asarray(c))), want.argmin(-1)
+    )
+
+
+def test_kmeans_fit_recovers_clusters():
+    rng = np.random.RandomState(0)
+    centers = np.array([[0, 0], [5, 5], [-5, 5]], np.float32)
+    x = np.concatenate([c + 0.2 * rng.randn(100, 2) for c in centers]).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    init = kmeans_plusplus_init(key, jnp.asarray(x), 3)
+    cents, inertia = kmeans_fit(key, jnp.asarray(x), init, n_steps=10)
+    # Each true center has a learned centroid within 0.2.
+    d = np.sqrt(((np.asarray(cents)[:, None] - centers[None]) ** 2).sum(-1))
+    assert (d.min(axis=0) < 0.2).all()
+    assert float(inertia[-1]) <= float(inertia[0])
+
+
+def test_quantizer_decode_and_sklearn_compat(tmp_path):
+    sklearn = pytest.importorskip("sklearn")
+    import joblib
+    from sklearn.cluster import MiniBatchKMeans
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(200, 8).astype(np.float32)
+    km = MiniBatchKMeans(n_clusters=10, n_init=3, random_state=0).fit(x)
+    joblib.dump(km, tmp_path / "km.bin")
+    q = KMeansQuantizer.load(str(tmp_path / "km.bin"))
+    np.testing.assert_array_equal(q(x[:50]), km.predict(x[:50]))
+
+    out = q.decode(x[:12], beamsearch=True, top_k=3, beamsize=8)
+    assert len(out["code"]) == 12
+    assert out["merged_code"] == dedup_units(out["code"])
+    assert len(out["beam_code"]) == 12
+    # Beam result stays within per-frame top-k candidates.
+    order = np.argsort(out["distance"], axis=1)[:, :3]
+    for t, u in enumerate(out["beam_code"]):
+        assert u in order[t]
+
+
+def test_dedup():
+    assert dedup_units([1, 1, 2, 2, 2, 1, 3, 3]) == [1, 2, 1, 3]
+
+
+TINY = ViTConfig(image_size=32, patch_size=16, embed_dim=24, depth=2, num_heads=2)
+
+
+def test_vit_shapes_and_rollout():
+    model = VisionTransformer(TINY)
+    x = jnp.ones((2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats, attns = model.apply(params, x, return_attn=True)
+    assert feats.shape == (2, 5, 24)  # 4 patches + cls
+    assert len(attns) == 2 and attns[0].shape == (2, 2, 5, 5)
+    mask = attention_rollout([np.asarray(a) for a in attns], discard_ratio=0.5)
+    assert mask.shape == (2, 4)
+    assert np.isfinite(mask).all() and mask.max() <= 1.0 + 1e-6
+
+
+def test_timm_converter_parity():
+    torch = pytest.importorskip("torch")
+    from torch import nn as tnn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    c = TINY
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(c.embed_dim, eps=c.layernorm_eps)
+            self.attn = tnn.Module()
+            self.attn.qkv = tnn.Linear(c.embed_dim, 3 * c.embed_dim)
+            self.attn.proj = tnn.Linear(c.embed_dim, c.embed_dim)
+            self.norm2 = tnn.LayerNorm(c.embed_dim, eps=c.layernorm_eps)
+            self.mlp = tnn.Module()
+            self.mlp.fc1 = tnn.Linear(c.embed_dim, int(c.embed_dim * c.mlp_ratio))
+            self.mlp.fc2 = tnn.Linear(int(c.embed_dim * c.mlp_ratio), c.embed_dim)
+
+        def forward(self, x):
+            B, T, D = x.shape
+            h = self.norm1(x)
+            qkv = self.attn.qkv(h).reshape(B, T, 3, c.num_heads, D // c.num_heads)
+            q, k, v = qkv.unbind(2)
+            attn = (q.transpose(1, 2) @ k.transpose(1, 2).transpose(-2, -1)) * (
+                (D // c.num_heads) ** -0.5
+            )
+            attn = attn.softmax(-1)
+            out = (attn @ v.transpose(1, 2)).transpose(1, 2).reshape(B, T, D)
+            x = x + self.attn.proj(out)
+            h = self.norm2(x)
+            x = x + self.mlp.fc2(F.gelu(self.mlp.fc1(h)))
+            return x
+
+    class TViT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cls_token = tnn.Parameter(torch.randn(1, 1, c.embed_dim) * 0.02)
+            self.pos_embed = tnn.Parameter(torch.randn(1, c.seq_len, c.embed_dim) * 0.02)
+            self.patch_embed = tnn.Module()
+            self.patch_embed.proj = tnn.Conv2d(3, c.embed_dim, c.patch_size, c.patch_size)
+            self.blocks = tnn.ModuleList([TBlock() for _ in range(c.depth)])
+            self.norm = tnn.LayerNorm(c.embed_dim, eps=c.layernorm_eps)
+
+        def forward(self, x):
+            B = x.shape[0]
+            x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+            x = x + self.pos_embed
+            for blk in self.blocks:
+                x = blk(x)
+            return self.norm(x)
+
+    tvit = TViT().eval()
+    sd = {k: v.detach().numpy() for k, v in tvit.state_dict().items()}
+    variables = convert_timm_state_dict(sd, c)
+
+    x = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tvit(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+    model = VisionTransformer(c)
+    got, _ = model.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_preprocess_images():
+    from PIL import Image
+
+    img = Image.fromarray((np.random.RandomState(0).rand(50, 70, 3) * 255).astype(np.uint8))
+    out = preprocess_images([img], image_size=32)
+    assert out.shape == (1, 32, 32, 3)
+    assert out.min() >= -1.001 and out.max() <= 1.001
