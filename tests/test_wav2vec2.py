@@ -1,0 +1,124 @@
+"""wav2vec2 family tests: HF numerical parity, masking, in-layer fusion."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mm_s2ut.models.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2ForCTC,
+    Wav2Vec2Model,
+    Wav2Vec2WithMultiModal,
+    convert_hf_state_dict,
+    span_mask,
+)
+
+TINY = Wav2Vec2Config(
+    conv_dim=(16, 16),
+    conv_stride=(5, 2),
+    conv_kernel=(10, 3),
+    hidden_size=24,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    intermediate_size=48,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    vocab_size=11,
+    hidden_dropout=0.0,
+    attention_dropout=0.0,
+    feat_proj_dropout=0.0,
+)
+
+
+def _hf_tiny(stable=False):
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model as HFModel
+
+    hf_cfg = HFConfig(
+        conv_dim=list(TINY.conv_dim),
+        conv_stride=list(TINY.conv_stride),
+        conv_kernel=list(TINY.conv_kernel),
+        hidden_size=TINY.hidden_size,
+        num_hidden_layers=TINY.num_hidden_layers,
+        num_attention_heads=TINY.num_attention_heads,
+        intermediate_size=TINY.intermediate_size,
+        num_conv_pos_embeddings=TINY.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=TINY.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=stable,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        feat_extract_norm="layer" if stable else "group",
+        conv_bias=stable,
+    )
+    return HFModel(hf_cfg).eval(), hf_cfg
+
+
+@pytest.mark.parametrize("stable", [False, True])
+def test_hf_parity(stable):
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    hf_model, hf_cfg = _hf_tiny(stable)
+    cfg = Wav2Vec2Config.from_hf(hf_cfg)
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    variables = convert_hf_state_dict(sd, cfg)
+
+    x = np.random.RandomState(0).randn(2, 800).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = hf_model(torch.tensor(x)).last_hidden_state.numpy()
+
+    model = Wav2Vec2Model(cfg)
+    out = model.apply(variables, jnp.asarray(x))
+    got = np.asarray(out["last_hidden_state"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_feature_lengths():
+    lens = TINY.feature_lengths(jnp.asarray([800, 400]))
+    # 800 -> (800-10)//5+1=159 -> (159-3)//2+1=79; 400 -> 79 -> 39
+    assert list(np.asarray(lens)) == [79, 39]
+
+
+def test_span_mask_properties():
+    lengths = jnp.asarray([50, 20])
+    mask = span_mask(jax.random.PRNGKey(0), (2, 50), 0.5, 5, lengths)
+    m = np.asarray(mask)
+    assert m.shape == (2, 50)
+    assert m[1, 20:].sum() == 0  # no masking in padding
+    assert m[0].sum() >= 5  # at least one span
+    # Spans have the configured length (runs of >= 1 each <= contiguous).
+    assert m.sum() > 0
+
+
+def test_ctc_model_and_grad_stops_at_feature_extractor():
+    model = Wav2Vec2ForCTC(TINY)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 800).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["logits"].shape == (1, 79, 11)
+
+    def loss(v):
+        return model.apply(v, x)["logits"].sum()
+
+    grads = jax.grad(loss)(variables)
+    conv_grad = grads["params"]["wav2vec2"]["feature_extractor"]["conv0"]["kernel"]
+    assert float(jnp.abs(conv_grad).sum()) == 0.0  # frozen conv frontend
+    ffn_grad = grads["params"]["wav2vec2"]["layer0"]["intermediate_dense"]["kernel"]
+    assert float(jnp.abs(ffn_grad).sum()) > 0.0
+
+
+def test_multimodal_inlayer_fusion():
+    model = Wav2Vec2WithMultiModal(TINY, m2_dim=8, num_cross_attention_layers=1)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 800).astype(np.float32))
+    img = jnp.asarray(np.random.RandomState(1).randn(2, 6, 8).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, None, img)
+    out = model.apply(variables, x, None, img)
+    assert out["last_hidden_state"].shape == (2, 79, 24)
+    # Image actually influences the output.
+    out2 = model.apply(variables, x, None, img * 0 + 1.0)
+    assert not np.allclose(
+        np.asarray(out["last_hidden_state"]), np.asarray(out2["last_hidden_state"])
+    )
