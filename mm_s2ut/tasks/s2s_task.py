@@ -149,6 +149,35 @@ class MultiModalSpeechToSpeechTask:
 
     # -- convenience ----------------------------------------------------------
 
+    def load_sample(
+        self, audio_path: str, image_path: Optional[str] = None
+    ) -> Dict[str, np.ndarray]:
+        """Single-sample net input (the task.load_sample API the reference
+        documents at README.md:232 but never implemented): wav → device
+        fbank; image → .npy features (raw images go through
+        inference.load_image_features)."""
+        from mm_s2ut.data.audio_io import get_waveform
+
+        wav, _ = get_waveform(audio_path, use_sample_rate=self.cfg.data.sample_rate)
+        wav = wav.astype(np.float32)[None]
+        lengths = np.asarray([wav.shape[1]], np.int32)
+        feats, frame_lens = waveform_frontend(
+            jnp.asarray(wav), jnp.asarray(lengths), self.fbank_cfg,
+            self.cfg.data.standardize_audio,
+        )
+        sample: Dict[str, np.ndarray] = {
+            "src_features": np.asarray(feats),
+            "src_lengths": np.asarray(frame_lens),
+        }
+        if image_path is not None:
+            from mm_s2ut.inference import load_image_features
+
+            dims = self.cfg.model.multimodal.image_feat_dim
+            feats_img = load_image_features(image_path, None, dims[0] if dims else 768)
+            sample["imgs_list"] = (feats_img,)
+            sample["img_masks_list"] = (np.zeros(feats_img.shape[:2], bool),)
+        return sample
+
     def build_trainer(self, criterion: str = "speech_to_unit"):
         from mm_s2ut.train.trainer import Trainer
 

@@ -187,6 +187,15 @@ class Trainer:
     def save_checkpoint(self, metrics: Optional[Dict[str, float]] = None):
         import orbax.checkpoint as ocp
 
+        from mm_s2ut.config import save_yaml
+
+        cfg_file = Path(self.cfg.train.save_dir).absolute() / "config.yaml"
+        cfg_file.parent.mkdir(parents=True, exist_ok=True)
+        if not cfg_file.exists():
+            # Self-describing save dir: inference restores model/task config
+            # from here (replaces the reference's code/yaml snapshot into
+            # MODEL_DIR, textless/1_train.sh:86-103).
+            save_yaml(self.cfg, cfg_file)
         step = int(self.state.step)
         self.ckpt_mgr.save(
             step,
