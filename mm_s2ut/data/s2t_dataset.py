@@ -1,0 +1,74 @@
+"""Multimodal speech-to-text dataset (enhanced path).
+
+TPU-native equivalent of the reference MultiModalSpeechToTextDataset /
+Creator (SURVEY.md C6; reference data/speech_to_text_dataset.py): same
+manifest/collation machinery as the S2S dataset, but targets are text
+tokenized against the task vocabulary (unit-mBART style, lang tags as
+bos/eos — reference config/xm_transformer.yaml:4-7), and multi-split
+training supports temperature resampling (reference :386-394).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mm_s2ut.data.dataset import S2SItem, SpeechToSpeechDataset
+
+
+class MultiModalSpeechToTextDataset(SpeechToSpeechDataset):
+    """Overrides target encoding: whitespace/BPE-pretokenized text →
+    vocab ids (+ optional lang-tag bos), EOS appended."""
+
+    def __getitem__(self, index: int) -> S2SItem:
+        item = super().__getitem__(index)
+        row = self.rows[index]
+        target = self.tgt_dict.encode_line(row.tgt_text, append_eos=True).astype(np.int64)
+        return S2SItem(
+            index=item.index, id=item.id, source=item.source, target=target,
+            tgt_lang_tag=item.tgt_lang_tag, src_audio_path=item.src_audio_path,
+            imgs=item.imgs, img_masks=item.img_masks, speaker=item.speaker,
+        )
+
+
+class ResampledConcat:
+    """Temperature-resampled concatenation of datasets (reference
+    ResamplingDataset use, data/speech_to_text_dataset.py:386-394):
+    size ratio for split i ∝ (n_i / N)^(1/T) normalized so the largest
+    split keeps ratio 1 at T=1."""
+
+    def __init__(self, datasets: Sequence, temperature: float = 1.0, seed: int = 1):
+        self.datasets = list(datasets)
+        self.seed = seed
+        sizes = np.asarray([len(d) for d in self.datasets], np.float64)
+        if temperature == 1.0 or len(self.datasets) == 1:
+            self.ratios = np.ones(len(self.datasets))
+        else:
+            probs = sizes / sizes.sum()
+            smoothed = probs ** (1.0 / temperature)
+            smoothed /= smoothed.sum()
+            # fairseq convention: ratio_i = smoothed_i · N / n_i — small
+            # splits get upsampled (>1), large splits downsampled (<1).
+            self.ratios = smoothed * sizes.sum() / sizes
+        self.target_sizes = np.maximum(np.round(sizes * self.ratios).astype(int), 1)
+
+    def __len__(self) -> int:
+        return int(self.target_sizes.sum())
+
+    def epoch_indices(self, epoch: int) -> List[tuple]:
+        """[(dataset_idx, sample_idx), ...] for one resampled epoch.
+        Upsampled splits repeat samples (with-replacement draw); the
+        shuffle is seeded per epoch."""
+        rng = np.random.RandomState(self.seed + epoch)
+        out: List[tuple] = []
+        for di, (ds, n) in enumerate(zip(self.datasets, self.target_sizes)):
+            if n == len(ds):
+                idx = np.arange(len(ds))
+            else:
+                idx = rng.choice(len(ds), size=n, replace=n > len(ds))
+            out.extend((di, int(i)) for i in idx)
+        rng.shuffle(out)
+        return out
+
+    def get(self, dataset_idx: int, sample_idx: int):
+        return self.datasets[dataset_idx][sample_idx]

@@ -1,0 +1,217 @@
+"""Enhanced path: ``mm_xm_transformer`` (wav2vec2 encoder + adaptor +
+image fusion + mBART-style decoder).
+
+TPU-native re-design of the reference MM_XMTransformerModel /
+Wav2VecEncoderWithAdaptorForMultiModal (SURVEY.md C9; reference
+models/mm_xm_transformer.py:127-346): a pretrained wav2vec2 encoder
+(models/wav2vec2, HF-convertible) feeds a stride-2 Conv1dAdaptor, then
+top fusion — selective attention + sigmoid gate per image source with
+modality dropout (with the reference's quirk that dropping audio also
+clears the padding mask, mm_xm_transformer.py:225-232) — and an
+autoregressive decoder over the unit-mBART vocabulary (lang-tag bos/eos,
+reference config/xm_transformer.yaml:4-7). Multitask CTC/decoder heads
+hang off encoder states (SURVEY.md F9).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm_s2ut import registry
+from mm_s2ut.config import ModelConfig
+from mm_s2ut.models.decoder import CTCHead, UnitDecoder
+from mm_s2ut.models.fusion import FusionBlock, modality_dropout
+from mm_s2ut.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+
+Dtype = Any
+
+
+class Conv1dAdaptor(nn.Module):
+    """Stride-2 conv stack shrinking the wav2vec2 frame rate (fairseq
+    Conv1dAdaptor; built by the reference at mm_s2s_transformer.py:218-224
+    and inside Wav2VecEncoderWithAdaptor)."""
+
+    out_dim: int
+    n_layers: int = 3
+    kernel_size: int = 3
+    stride: int = 2
+    layernorm: bool = False
+    proj: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.proj:
+            x = nn.Dense(x.shape[-1] * 2, dtype=self.dtype, name="proj1")(x)
+            x = jax.nn.glu(x, axis=-1)
+        pad = self.kernel_size // 2
+        for i in range(self.n_layers):
+            if self.layernorm:
+                x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.Conv(
+                self.out_dim * 2, (self.kernel_size,), strides=(self.stride,),
+                padding=[(pad, pad)], dtype=self.dtype, name=f"conv{i}",
+            )(x)
+            x = jax.nn.glu(x, axis=-1)
+            lengths = (lengths + self.stride - 1) // self.stride
+        if self.proj:
+            x = nn.Dense(self.out_dim * 2, dtype=self.dtype, name="proj2")(x)
+            x = jax.nn.glu(x, axis=-1)
+        return x, lengths
+
+
+@registry.register_model("mm_xm_transformer")
+class MMXMTransformerModel(nn.Module):
+    """forward(waveform batch) → decoder logits (+multitask outputs)."""
+
+    cfg: ModelConfig
+    w2v_cfg: Wav2Vec2Config = Wav2Vec2Config()
+    adaptor_layers: int = 3
+    adaptor_kernel: int = 3
+    adaptor_stride: int = 2
+
+    def setup(self):
+        cfg, mm = self.cfg, self.cfg.multimodal
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.wav2vec2 = Wav2Vec2Model(self.w2v_cfg, dtype=dtype)
+        self.adaptor = Conv1dAdaptor(
+            cfg.decoder_embed_dim,
+            n_layers=self.adaptor_layers,
+            kernel_size=self.adaptor_kernel,
+            stride=self.adaptor_stride,
+            layernorm=True,
+            dtype=dtype,
+        )
+        if self.w2v_cfg.hidden_size != cfg.decoder_embed_dim:
+            self.pre_adaptor_proj = nn.Dense(cfg.decoder_embed_dim, dtype=dtype)
+        if mm.multimodal_attention_type is not None:
+            self.fusion_blocks = [
+                FusionBlock(
+                    embed_dim=cfg.decoder_embed_dim,
+                    image_dim=dim,
+                    attention_type="selective_attention",
+                    use_selective_gate=True,
+                    image_pre_norm=mm.image_pre_norm,
+                    image_dropout=mm.SA_image_dropout,
+                    text_dropout=mm.SA_text_dropout,
+                    attention_dropout=mm.SA_attention_dropout,
+                    dtype=dtype,
+                    name=f"fusion{i}",
+                )
+                for i, dim in enumerate(mm.image_feat_dim)
+            ]
+        else:
+            self.fusion_blocks = []
+        self.decoder = UnitDecoder(
+            vocab_size=cfg.vocab_size,
+            embed_dim=cfg.decoder_embed_dim,
+            ffn_dim=cfg.decoder_ffn_embed_dim,
+            num_layers=cfg.decoder_layers,
+            num_heads=cfg.decoder_attention_heads,
+            dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout,
+            activation_dropout=cfg.activation_dropout,
+            activation=cfg.activation_fn,
+            normalize_before=cfg.decoder_normalize_before,
+            share_input_output_embed=cfg.share_decoder_input_output_embed,
+            max_positions=cfg.max_target_positions,
+            dtype=dtype,
+        )
+        if cfg.ctc_weight > 0:
+            self.ctc_head = CTCHead(cfg.vocab_size, dtype=dtype)
+
+    def encode(
+        self,
+        waveform: jnp.ndarray,  # (B, S) raw audio
+        lengths: jnp.ndarray,
+        imgs_list: Sequence[jnp.ndarray] = (),
+        img_masks_list: Sequence[Optional[jnp.ndarray]] = (),
+        apply_mask: bool = False,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        mm = self.cfg.multimodal
+        out = self.wav2vec2(
+            waveform, lengths, apply_mask=apply_mask, deterministic=deterministic
+        )
+        x = out["last_hidden_state"]
+        if hasattr(self, "pre_adaptor_proj"):
+            x = self.pre_adaptor_proj(x)
+        x, feat_lens = self.adaptor(x, out["lengths"])
+        padding_mask = jnp.arange(x.shape[1])[None, :] >= feat_lens[:, None]
+
+        imgs_list = list(imgs_list)
+        if self.fusion_blocks and mm.is_fusion_top and imgs_list:
+            if not deterministic and mm.modality_dropout > 0:
+                x, imgs_list = modality_dropout(
+                    self.make_rng("modality"), x, imgs_list,
+                    mm.modality_dropout, mm.audio_dropout,
+                )
+            masks = list(img_masks_list) or [None] * len(imgs_list)
+            fused = []
+            for block, img, img_mask in zip(self.fusion_blocks, imgs_list, masks):
+                res, _ = block(
+                    x, padding_mask, img.astype(x.dtype), img_mask,
+                    deterministic=deterministic,
+                )
+                fused.append(res)
+            x = fused[0]
+            for extra in fused[1:]:
+                x = x + extra
+        return {
+            "encoder_out": x,
+            "encoder_padding_mask": padding_mask,
+            "encoder_states": out["hidden_states"],
+        }
+
+    def __call__(
+        self,
+        src_tokens: jnp.ndarray,  # (B, S) waveform
+        src_lengths: jnp.ndarray,
+        prev_output_tokens: jnp.ndarray,
+        imgs_list: Sequence[jnp.ndarray] = (),
+        img_masks_list: Sequence[Optional[jnp.ndarray]] = (),
+        tgt_speaker: Optional[jnp.ndarray] = None,  # trainer-call parity (unused)
+        deterministic: bool = True,
+        apply_mask: bool = False,
+    ) -> Dict[str, Any]:
+        enc = self.encode(
+            src_tokens, src_lengths, imgs_list, img_masks_list,
+            apply_mask=apply_mask, deterministic=deterministic,
+        )
+        logits = self.decoder(
+            prev_output_tokens,
+            enc["encoder_out"],
+            enc["encoder_padding_mask"],
+            deterministic=deterministic,
+        )
+        out = {
+            "logits": logits,
+            "encoder_out": enc["encoder_out"],
+            "encoder_padding_mask": enc["encoder_padding_mask"],
+        }
+        if self.cfg.ctc_weight > 0:
+            out["ctc_logits"] = self.ctc_head(enc["encoder_out"])
+        return out
+
+    # Beam-search surface (same contract as MMS2UTModel).
+    def decode_init(self, enc: Dict[str, Any], max_len: int):
+        return self.decoder.init_state(
+            enc["encoder_out"], enc["encoder_padding_mask"], max_len
+        )
+
+    def decode_step(self, prev_token: jnp.ndarray, state):
+        return self.decoder.step(prev_token, state)
+
+
+@registry.register_model_architecture("mm_xm_transformer", "mm_xm_transformer")
+def mm_xm_architecture_base(cfg: ModelConfig) -> ModelConfig:
+    cfg.decoder_embed_dim = 1024
+    cfg.decoder_ffn_embed_dim = 4096
+    cfg.decoder_layers = 12
+    cfg.decoder_attention_heads = 16
+    return cfg
