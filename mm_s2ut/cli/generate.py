@@ -1,0 +1,76 @@
+"""``python -m mm_s2ut.cli.generate`` — batch beam-search generation.
+
+Replaces ``fairseq-generate`` over a data split (SURVEY.md §3.2; reference
+scripts/textless/2_inference.sh:34-43): loads a Trainer checkpoint,
+iterates the split with bucketed batches, runs the jitted beam search,
+and writes ``generate-{subset}.txt`` with T-/H-/D- lines — byte-compatible
+with the reference's downstream unit extraction
+(grep "^D-" | sort -nk1 | cut -f3, scripts/3_generate_waveform.sh:24-26).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("mm_s2ut.generate")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m mm_s2ut.cli.generate")
+    ap.add_argument("--model_path", required=True, help="Trainer checkpoint dir")
+    ap.add_argument("--gen-subset", default="test")
+    ap.add_argument("--results-path", required=True)
+    ap.add_argument("--beam", type=int, default=None)
+    ap.add_argument("--max-len-a", type=float, default=None)
+    ap.add_argument("--max-len-b", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from mm_s2ut import registry
+    from mm_s2ut.infer.generator import UnitGenerator, format_generation_output
+    from mm_s2ut.inference import load_checkpoint
+
+    cfg, model, params = load_checkpoint(args.model_path)
+    if args.beam:
+        cfg.generation.beam = args.beam
+    if args.max_len_a is not None:
+        cfg.generation.max_len_a = args.max_len_a
+    if args.max_len_b is not None:
+        cfg.generation.max_len_b = args.max_len_b
+
+    task = registry.get_task(cfg.task)(cfg)
+    gen = UnitGenerator(
+        model, params, cfg.generation,
+        max_target_positions=cfg.model.max_target_positions,
+    )
+
+    out_dir = Path(args.results_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    lines: List[str] = []
+    n = 0
+    for batch in task.batch_iterator(args.gen_subset, shuffle=False):
+        hypos = gen.generate(
+            np.asarray(batch["src_features"]), np.asarray(batch["src_lengths"]),
+            tuple(np.asarray(x) for x in batch.get("imgs_list", ())),
+            tuple(np.asarray(x) for x in batch.get("img_masks_list", ())),
+        )
+        targets = [t[t != 1].tolist() for t in np.asarray(batch["target"])]
+        lines.extend(
+            format_generation_output(
+                batch["id"].tolist(), hypos, task.tgt_dict, targets,
+                nbest=cfg.generation.nbest,
+            )
+        )
+        n += len(hypos)
+    out_file = out_dir / f"generate-{args.gen_subset}.txt"
+    out_file.write_text("\n".join(lines) + "\n")
+    logger.info("generated %d samples -> %s", n, out_file)
+    return 0
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    raise SystemExit(main())

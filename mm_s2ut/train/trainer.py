@@ -238,41 +238,55 @@ class Trainer:
 
     def fit(
         self,
-        train_iter: Callable[[], Iterator[Dict[str, np.ndarray]]],
+        train_iter: Callable[[int], Iterator[Dict[str, np.ndarray]]],
         valid_iter: Optional[Callable[[], Iterator[Dict[str, np.ndarray]]]] = None,
         max_update: Optional[int] = None,
+        metrics_writer=None,
     ):
+        """Epoch loop (replaces the fairseq Trainer driver, SURVEY.md F1).
+        ``train_iter(epoch)`` yields host batches; each is one update."""
+        from mm_s2ut.train.metrics import MetricsAggregator
+
         cfg = self.cfg.train
         max_update = max_update or cfg.max_update
-        log_every = cfg.log_interval
-        running: Dict[str, float] = {}
-        t0 = time.time()
+        agg = MetricsAggregator()
+        epoch = 0
         while int(self.state.step) < max_update:
-            for batch in train_iter():
+            saw_batch = False
+            for batch in train_iter(epoch):
+                saw_batch = True
                 metrics = self.train_batch(batch)
                 step = int(self.state.step)
-                host = jax.device_get(metrics)
-                for k, v in host.items():
-                    running[k] = running.get(k, 0.0) + float(v)
-                if step % log_every == 0 and step > 0:
-                    ntok = max(running.get("ntokens", 1.0), 1.0)
+                agg.update(jax.device_get(metrics))
+                if step % cfg.log_interval == 0 and step > 0:
+                    snap = agg.flush()
                     logger.info(
-                        "step %d loss %.4f nll %.4f acc %.3f %.1f tok/s",
-                        step,
-                        running.get("loss", 0) / ntok,
-                        running.get("nll_loss", 0) / ntok,
-                        running.get("n_correct", 0) / ntok,
-                        ntok / max(time.time() - t0, 1e-6),
+                        "epoch %d step %d loss %.4f nll %.4f acc %.3f %.0f tok/s",
+                        epoch, step,
+                        snap.get("loss", 0.0), snap.get("nll_loss", 0.0),
+                        snap.get("n_correct", 0.0),
+                        snap.get("ntokens_per_sec", 0.0),
                     )
-                    self.metrics_history.append({"step": step, **{k: v / ntok for k, v in running.items()}})
-                    running, t0 = {}, time.time()
+                    self.metrics_history.append({"step": step, **snap})
+                    if metrics_writer is not None:
+                        metrics_writer.write(step, snap, "train")
                 if cfg.save_interval_updates and step % cfg.save_interval_updates == 0 and step > 0:
                     valid_metrics = (
                         self.evaluate(valid_iter()) if valid_iter is not None else {}
                     )
+                    if valid_metrics:
+                        logger.info("valid at %d: %s", step, valid_metrics)
+                        if metrics_writer is not None:
+                            metrics_writer.write(step, valid_metrics, "valid")
                     self.save_checkpoint(valid_metrics)
                 if step >= max_update:
                     break
+            if not saw_batch:
+                break
+            epoch += 1
+        # Final checkpoint.
+        valid_metrics = self.evaluate(valid_iter()) if valid_iter is not None else {}
+        self.save_checkpoint(valid_metrics)
         return self.state
 
 
