@@ -176,20 +176,67 @@ class SpeechToSpeechDataset:
         wav, _ = get_waveform(path, use_sample_rate=self.cfg.sample_rate)
         if self.is_train:
             wav = self._maybe_add_noise(wav.astype(np.float32))
-        source = wav.astype(np.float32)
+        item = self._target_item(index, row)
+        item.source = wav.astype(np.float32)
+        return item
 
+    # -- native fast path -------------------------------------------------------
+
+    def collate_native(
+        self,
+        indices: Sequence[int],
+        src_pad: int,
+        tgt_pad: int,
+        n_threads: int = 8,
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """Batch decode via the C++ loader (mm_s2ut.native): all wavs of the
+        batch are decoded by a GIL-free thread pool straight into the padded
+        buffer. Returns None when the fast path doesn't apply (noise aug
+        active, native lib unavailable, or non-wav/resampled sources) —
+        callers fall back to :meth:`collate`."""
+        if self.is_train and self.noise_wavs and self.noise_cfg.noise_prob > 0:
+            return None
+        from mm_s2ut import native
+
+        if not native.available():
+            return None
+        rows = [self.rows[int(i)] for i in indices]
+        paths = []
+        for row in rows:
+            p = row.src_audio
+            if self.cfg.audio_root and not os.path.isabs(p):
+                p = os.path.join(self.cfg.audio_root, p)
+            if not p.endswith(".wav"):
+                return None
+            paths.append(p)
+        src, src_lengths, rates = native.load_batch(paths, src_pad, n_threads)
+        if not (rates == self.cfg.sample_rate).all():
+            return None  # needs resampling — python path
+        order = np.argsort(-src_lengths, kind="stable")
+        rows = [rows[i] for i in order]
+        src = src[order]
+        src_lengths = src_lengths[order]
+        items = []
+        for local_i, row in zip(order, rows):
+            item = self._target_item(int(indices[int(local_i)]), row)
+            items.append(item)
+        batch = self._collate_targets(items, tgt_pad)
+        batch["src_features"] = src
+        batch["src_lengths"] = src_lengths.astype(np.int32)
+        return batch
+
+    def _target_item(self, index: int, row: ManifestRow) -> S2SItem:
+        """Item without audio (targets/images only) for the native path."""
         target = self.tgt_dict.encode_line(row.tgt_text, append_eos=True).astype(np.int64)
         n = self.n_frames_per_step
         if n > 1:
             body = len(target) - 1
             keep = body - body % n
             target = np.concatenate([target[:keep], [self.tgt_dict.eos()]])
-
         tgt_lang_tag = None
         if self.cfg.prepend_bos_and_append_tgt_lang_tag and row.tgt_lang:
             tag = row.tgt_lang if row.tgt_lang.startswith("<lang:") else f"<lang:{row.tgt_lang}>"
             tgt_lang_tag = self.tgt_dict.index(tag)
-
         imgs: List[np.ndarray] = []
         masks: List[Optional[np.ndarray]] = []
         if self.image_stores:
@@ -198,12 +245,51 @@ class SpeechToSpeechDataset:
                 _, feat, mask = store[img_idx]
                 imgs.append(np.asarray(feat, np.float32))
                 masks.append(None if mask is None else np.asarray(mask, bool))
-
         return S2SItem(
-            index=index, id=row.id, source=source, target=target,
-            tgt_lang_tag=tgt_lang_tag, src_audio_path=row.src_audio,
-            imgs=imgs, img_masks=masks,
+            index=index, id=row.id, source=np.zeros(0, np.float32),
+            target=target, tgt_lang_tag=tgt_lang_tag,
+            src_audio_path=row.src_audio, imgs=imgs, img_masks=masks,
         )
+
+    def _collate_targets(
+        self, items: Sequence[S2SItem], tgt_pad: Optional[int]
+    ) -> Dict[str, np.ndarray]:
+        """Target/image collation shared by both paths (items pre-ordered)."""
+        pad_id, eos_id = self.tgt_dict.pad(), self.tgt_dict.eos()
+        B = len(items)
+        packed = [
+            pack_units(it.target, self.n_frames_per_step, len(self.tgt_dict))
+            for it in items
+        ]
+        L = tgt_pad or max(len(p) for p in packed)
+        target = np.full((B, L), pad_id, np.int32)
+        prev = np.full((B, L), pad_id, np.int32)
+        target_lengths = np.zeros((B,), np.int32)
+        for i, (it, p) in enumerate(zip(items, packed)):
+            n = min(len(p), L)
+            target[i, :n] = p[:n]
+            prev[i, 0] = it.tgt_lang_tag if it.tgt_lang_tag is not None else eos_id
+            prev[i, 1:n] = p[: n - 1]
+            target_lengths[i] = n
+        batch: Dict[str, np.ndarray] = {
+            "id": np.asarray([it.index for it in items], np.int64),
+            "prev_output_tokens": prev,
+            "target": target,
+            "target_lengths": target_lengths,
+            "ntokens": np.asarray(target_lengths.sum(), np.int64),
+            "nsentences": np.asarray(B, np.int64),
+        }
+        if items[0].imgs:
+            imgs_list, masks_list = [], []
+            for k in range(len(items[0].imgs)):
+                imgs_list.append(np.stack([it.imgs[k] for it in items]))
+                if items[0].img_masks[k] is not None:
+                    masks_list.append(np.stack([it.img_masks[k] for it in items]))
+                else:
+                    masks_list.append(np.zeros((B, imgs_list[k].shape[1]), bool))
+            batch["imgs_list"] = tuple(imgs_list)
+            batch["img_masks_list"] = tuple(masks_list)
+        return batch
 
     # -- collation -------------------------------------------------------------
 
@@ -215,7 +301,6 @@ class SpeechToSpeechDataset:
     ) -> Dict[str, np.ndarray]:
         """Pad + sort descending by source length. ``src_pad``/``tgt_pad``
         fix the padded shapes (bucketing); default = batch max."""
-        pad_id, eos_id = self.tgt_dict.pad(), self.tgt_dict.eos()
         order = np.argsort([-len(it.source) for it in items], kind="stable")
         items = [items[i] for i in order]
         B = len(items)
@@ -228,43 +313,7 @@ class SpeechToSpeechDataset:
             src[i, :n] = it.source[:n]
             src_lengths[i] = n
 
-        packed = [
-            pack_units(it.target, self.n_frames_per_step, len(self.tgt_dict))
-            for it in items
-        ]
-        L = tgt_pad or max(len(p) for p in packed)
-        target = np.full((B, L), pad_id, np.int32)
-        prev = np.full((B, L), pad_id, np.int32)
-        target_lengths = np.zeros((B,), np.int32)
-        for i, (it, p) in enumerate(zip(items, packed)):
-            n = min(len(p), L)
-            target[i, :n] = p[:n]
-            # move_eos_to_beginning: prev = [eos, y_0..y_{n-2}]
-            prev[i, 0] = it.tgt_lang_tag if it.tgt_lang_tag is not None else eos_id
-            prev[i, 1:n] = p[: n - 1]
-            target_lengths[i] = n
-
-        batch: Dict[str, np.ndarray] = {
-            "id": np.asarray([it.index for it in items], np.int64),
-            "src_features": src,  # waveforms; device fbank converts downstream
-            "src_lengths": src_lengths,
-            "prev_output_tokens": prev,
-            "target": target,
-            "target_lengths": target_lengths,
-            "ntokens": np.asarray(target_lengths.sum(), np.int64),
-            "nsentences": np.asarray(B, np.int64),
-        }
-        if items[0].imgs:
-            n_src = len(items[0].imgs)
-            imgs_list, masks_list = [], []
-            for k in range(n_src):
-                imgs_list.append(np.stack([it.imgs[k] for it in items]))
-                if items[0].img_masks[k] is not None:
-                    masks_list.append(np.stack([it.img_masks[k] for it in items]))
-                else:
-                    masks_list.append(
-                        np.zeros((B, imgs_list[k].shape[1]), bool)
-                    )
-            batch["imgs_list"] = tuple(imgs_list)
-            batch["img_masks_list"] = tuple(masks_list)
+        batch = self._collate_targets(items, tgt_pad)
+        batch["src_features"] = src  # waveforms; device fbank converts downstream
+        batch["src_lengths"] = src_lengths
         return batch

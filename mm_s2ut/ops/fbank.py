@@ -117,6 +117,56 @@ def mel_banks(cfg: FbankConfig) -> np.ndarray:
     return banks.astype(np.float32)
 
 
+def _dft_frame_matrices(cfg: FbankConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Compose (DC-removal → preemphasis → window → zero-padded real DFT)
+    into two (frame_length, nfft/2) matrices.
+
+    Every per-frame op before the power spectrum is LINEAR, so the whole
+    chain is one matrix: A = diag(window) · P · (I - J/N), with P the
+    preemphasis bidiagonal (x_i − 0.97·x_{i−1}, first-sample convention)
+    and J the all-ones matrix. The combined M_re/M_im = Aᵀ·D fold
+    everything into two MXU GEMMs — the GEMM-native NDFT formulation
+    (cf. MelT, PAPERS.md) that replaces the FFT entirely. Exactly
+    equivalent to the rfft path for dither=0 (golden-tested).
+    """
+    n = cfg.frame_length
+    nfft = cfg.padded_window_size
+    nbins = nfft // 2
+    # A: (n, n) combined per-frame linear map.
+    A = np.eye(n) - np.ones((n, n)) / n if cfg.remove_dc_offset else np.eye(n)
+    if cfg.preemphasis > 0:
+        P = np.eye(n)
+        P[0, 0] -= cfg.preemphasis
+        idx = np.arange(1, n)
+        P[idx, idx - 1] -= cfg.preemphasis
+        A = P @ A
+    A = np.diag(_feature_window(cfg).astype(np.float64)) @ A
+    # D: (n, nbins) real/imag DFT (zero padding ⇒ only first n rows used).
+    t = np.arange(n)[:, None]
+    k = np.arange(nbins)[None, :]
+    ang = -2.0 * np.pi * t * k / nfft
+    D_re, D_im = np.cos(ang), np.sin(ang)
+    M_re = (A.T @ D_re).astype(np.float32)
+    M_im = (A.T @ D_im).astype(np.float32)
+    return M_re, M_im
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_frames"))
+def _fbank_matmul_impl(
+    waveform: jnp.ndarray, cfg: FbankConfig, n_frames: int
+) -> jnp.ndarray:
+    """GEMM-native fbank: framing gather + three MXU matmuls + log."""
+    frames = _frame_signal(waveform.astype(jnp.float32), cfg, n_frames)
+    M_re, M_im = _dft_frame_matrices(cfg)
+    re = frames @ jnp.asarray(M_re)
+    im = frames @ jnp.asarray(M_im)
+    power = re * re + im * im
+    if not cfg.use_power:
+        power = jnp.sqrt(jnp.maximum(power, 0.0))
+    mel = power @ jnp.asarray(mel_banks(cfg))
+    return jnp.log(jnp.maximum(mel, _EPSILON))
+
+
 def num_frames(num_samples: int, cfg: FbankConfig) -> int:
     if num_samples < cfg.frame_length:
         return 0
@@ -173,7 +223,9 @@ def log_mel_fbank(
     n = num_frames(int(waveform.shape[-1]), cfg)
     if n == 0:
         return jnp.zeros((0, cfg.num_mel_bins), jnp.float32)
-    return _fbank_impl(waveform, cfg, n, dither_key)
+    if cfg.dither > 0 and dither_key is not None:
+        return _fbank_impl(waveform, cfg, n, dither_key)
+    return _fbank_matmul_impl(waveform, cfg, n)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -189,7 +241,8 @@ def batched_log_mel_fbank(
     """
     B, S = waveforms.shape
     T = num_frames(S, cfg)
-    feats = jax.vmap(lambda w: _fbank_impl(w, cfg, T))(waveforms.astype(jnp.float32))
+    impl = _fbank_impl if cfg.dither > 0 else _fbank_matmul_impl
+    feats = jax.vmap(lambda w: impl(w, cfg, T))(waveforms.astype(jnp.float32))
     frame_lens = jnp.where(
         lengths >= cfg.frame_length,
         1 + (lengths - cfg.frame_length) // cfg.frame_shift,

@@ -134,9 +134,18 @@ class MultiModalSpeechToSpeechTask:
             quantum=shift * 32,
             seed=self.cfg.train.seed,
         )
-        for bucket, idx in batcher.epoch(epoch, shuffle=shuffle):
-            items = [ds[int(i)] for i in idx]
-            batch = ds.collate(items, src_pad=bucket.src_len, tgt_pad=bucket.tgt_len)
+        def host_batches():
+            for bucket, idx in batcher.epoch(epoch, shuffle=shuffle):
+                # Native C++ batch decode when applicable, python fallback.
+                batch = ds.collate_native(idx, bucket.src_len, bucket.tgt_len)
+                if batch is None:
+                    items = [ds[int(i)] for i in idx]
+                    batch = ds.collate(items, src_pad=bucket.src_len, tgt_pad=bucket.tgt_len)
+                yield batch
+
+        from mm_s2ut.data.prefetch import prefetch
+
+        for batch in prefetch(host_batches(), depth=2):
             feats, frame_lens = waveform_frontend(
                 jnp.asarray(batch["src_features"]),
                 jnp.asarray(batch["src_lengths"]),

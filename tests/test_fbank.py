@@ -126,3 +126,13 @@ def test_standardize_masked(wave):
     out = np.asarray(standardize(feats, lengths=np.array([98])))
     assert abs(out[0, :98].mean()) < 1e-4
     assert abs(out[0, :98].std() - 1.0) < 1e-2
+
+
+def test_matmul_path_matches_fft_path(wave):
+    from mm_s2ut.ops.fbank import _fbank_impl, _fbank_matmul_impl
+    import jax.numpy as jnp
+
+    cfg = FbankConfig()
+    fft = np.asarray(_fbank_impl(jnp.asarray(wave), cfg, 98))
+    gemm = np.asarray(_fbank_matmul_impl(jnp.asarray(wave), cfg, 98))
+    np.testing.assert_allclose(gemm, fft, rtol=2e-3, atol=2e-3)
