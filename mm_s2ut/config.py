@@ -65,6 +65,18 @@ class MultimodalConfig:
     # mm_s2s_transformer.py:107 although absent from the shipped yaml — here
     # it is a first-class default=False field, fixing that gap).
     only_img: bool = False
+    # Q-Former bottleneck between speech and image streams (reference
+    # multimodal_extractor_type, mm_s2s_transformer.py:197-211).
+    multimodal_extractor_type: Optional[str] = None  # None | "q_former"
+    num_queries: int = 32
+    num_query_layers: int = 4
+    num_multimodal_layers: int = 2
+    self_attention_first: bool = False
+    # In-layer fusion depth (wav2vec2_multimodal branch,
+    # mm_s2s_transformer.py:246-258).
+    num_cross_attention_layers: int = 1
+    # External multimodal transformer depth (fuse.py:288-357 use).
+    external_multimodal_transformer_layers: int = 6
 
     def validate(self) -> "MultimodalConfig":
         if self.multimodal_attention_type not in MULTIMODAL_ATTENTION_TYPE_CHOICES:

@@ -26,6 +26,11 @@ from mm_s2ut.config import ModelConfig
 from mm_s2ut.models.decoder import CTCHead, UnitDecoder
 from mm_s2ut.models.fusion import FusionBlock, QFormer, modality_dropout
 from mm_s2ut.models.s2t_encoder import SpeechTransformerEncoder
+from mm_s2ut.models.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2Model,
+    Wav2Vec2WithMultiModal,
+)
 
 Dtype = Any
 
@@ -47,10 +52,32 @@ class MMS2UTModel(nn.Module):
     """
 
     cfg: ModelConfig
+    # wav2vec2/HuBERT branch config (speech_encoder_type != conv_transformer;
+    # reference loads these from --mhubert-ckpt-path / --wav2vec2-model-dir,
+    # mm_s2s_transformer.py:228-258 — here weights arrive via
+    # wav2vec2.convert_hf_state_dict into this submodule's params).
+    w2v_cfg: Wav2Vec2Config = Wav2Vec2Config()
 
     def setup(self):
         cfg, mm = self.cfg, self.cfg.multimodal
         dtype = _dtype(cfg)
+        if cfg.speech_encoder_type == "wav2vec2_multimodal":
+            # In-layer fusion variant (reference Wav2Vec2WithMultiModal,
+            # fuse.py:450-766): cross-attention to image feats inside the
+            # top encoder layers.
+            self.speech_encoder = Wav2Vec2WithMultiModal(
+                self.w2v_cfg,
+                m2_dim=mm.image_feat_dim[0] if mm.image_feat_dim else 768,
+                num_cross_attention_layers=getattr(mm, "num_cross_attention_layers", 1),
+                dtype=dtype,
+            )
+        elif cfg.speech_encoder_type in ("hubert", "wav2vec2"):
+            self.speech_encoder = Wav2Vec2Model(self.w2v_cfg, dtype=dtype)
+        if cfg.speech_encoder_type != "conv_transformer":
+            if self.w2v_cfg.hidden_size != cfg.encoder_embed_dim:
+                # The reference keeps 768/1024→512 projections around
+                # (mm_s2s_transformer.py:212-216).
+                self.speech_proj = nn.Dense(cfg.encoder_embed_dim, dtype=dtype)
         self.encoder = SpeechTransformerEncoder(
             embed_dim=cfg.encoder_embed_dim,
             ffn_dim=cfg.encoder_ffn_embed_dim,
@@ -87,6 +114,21 @@ class MMS2UTModel(nn.Module):
             ]
         else:
             self.fusion_blocks = []
+        if mm.multimodal_extractor_type == "q_former":
+            img_dim = mm.image_feat_dim[0] if mm.image_feat_dim else 768
+            self.q_former = QFormer(
+                embed_dim=img_dim,
+                num_heads=max(img_dim // 64, 1),
+                ffn_dim=img_dim * 4,
+                num_queries=mm.num_queries,
+                num_query_layers=mm.num_query_layers,
+                num_multimodal_layers=mm.num_multimodal_layers,
+                dropout=mm.SA_attention_dropout,
+                self_attention_first=mm.self_attention_first,
+                dtype=dtype,
+            )
+            if img_dim != cfg.encoder_embed_dim:
+                self.q_former_speech_proj = nn.Dense(img_dim, dtype=dtype)
         # only_img ablation: image features stand in for the encoder output;
         # project to model width when dims differ (the reference feeds the raw
         # image dim and relies on matching dims — mm_s2s_transformer.py:515-523).
@@ -135,12 +177,45 @@ class MMS2UTModel(nn.Module):
                 mask = jnp.zeros(img.shape[:2], bool)
             return {"encoder_out": img, "encoder_padding_mask": mask, "encoder_states": []}
 
-        out = self.encoder(
-            src_features, src_lengths, deterministic=deterministic,
-            return_all_states=bool(self.fusion_blocks) and not mm.is_fusion_top,
-        )
-        x = out["encoder_out"]
-        padding_mask = out["encoder_padding_mask"]
+        in_layer_fusion = cfg.speech_encoder_type == "wav2vec2_multimodal"
+        if in_layer_fusion:
+            # src_features is the raw waveform for wav2vec2 branches
+            # (reference forward_wav2vec2_multimodal, :308-376).
+            w2v = self.speech_encoder(
+                src_features, src_lengths,
+                imgs_list[0] if imgs_list else jnp.zeros(
+                    (src_features.shape[0], 1, mm.image_feat_dim[0]), _dtype(cfg)
+                ),
+                img_masks_list[0] if img_masks_list else None,
+                apply_mask=not deterministic,
+                deterministic=deterministic,
+            )
+            x = w2v["last_hidden_state"]
+            if hasattr(self, "speech_proj"):
+                x = self.speech_proj(x)
+            out = {"encoder_out": x, "encoder_padding_mask": w2v["padding_mask"],
+                   "encoder_states": w2v["hidden_states"]}
+            padding_mask = w2v["padding_mask"]
+        elif cfg.speech_encoder_type in ("hubert", "wav2vec2"):
+            # Frozen-then-finetuned pretrained branch (reference mhubert /
+            # HF wav2vec2 forward, :408-462): masking only at train time.
+            w2v = self.speech_encoder(
+                src_features, src_lengths,
+                apply_mask=not deterministic, deterministic=deterministic,
+            )
+            x = w2v["last_hidden_state"]
+            if hasattr(self, "speech_proj"):
+                x = self.speech_proj(x)
+            out = {"encoder_out": x, "encoder_padding_mask": w2v["padding_mask"],
+                   "encoder_states": w2v["hidden_states"]}
+            padding_mask = w2v["padding_mask"]
+        else:
+            out = self.encoder(
+                src_features, src_lengths, deterministic=deterministic,
+                return_all_states=bool(self.fusion_blocks) and not mm.is_fusion_top,
+            )
+            x = out["encoder_out"]
+            padding_mask = out["encoder_padding_mask"]
 
         if cfg.speaker_embed_dim and tgt_speaker is not None:
             spk = jnp.broadcast_to(
@@ -149,7 +224,22 @@ class MMS2UTModel(nn.Module):
             )
             x = self.spk_emb_proj(jnp.concatenate([x, spk], axis=-1))
 
-        if self.fusion_blocks and mm.is_fusion_top and imgs_list:
+        if mm.multimodal_extractor_type == "q_former" and imgs_list:
+            # Bottleneck: learned queries attend to speech then image; the
+            # q_former output replaces the image stream (reference
+            # mm_s2s_transformer.py:483-497).
+            speech_in = x
+            if hasattr(self, "q_former_speech_proj"):
+                speech_in = self.q_former_speech_proj(speech_in)
+            imgs_list[0] = self.q_former(
+                speech_in, imgs_list[0].astype(x.dtype),
+                m1_key_padding_mask=padding_mask,
+                m2_key_padding_mask=img_masks_list[0],
+                deterministic=deterministic,
+            )
+            img_masks_list[0] = jnp.zeros(imgs_list[0].shape[:2], bool)
+
+        if self.fusion_blocks and mm.is_fusion_top and imgs_list and not in_layer_fusion:
             # Batch-level modality dropout, train only.
             if not deterministic and mm.modality_dropout > 0:
                 x, imgs_list = modality_dropout(

@@ -179,3 +179,73 @@ def test_qformer_shapes():
     assert out.shape == (2, 4, 16)
     out_img_only = qf.apply(params, None, m2)
     assert out_img_only.shape == (2, 4, 16)
+
+
+def test_wav2vec2_speech_branch():
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config
+
+    w2v = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=24, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=48, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, hidden_dropout=0.0,
+        attention_dropout=0.0,
+    )
+    cfg = small_cfg(speech_encoder_type="wav2vec2")
+    model = MMS2UTModel(cfg, w2v_cfg=w2v)
+    B = 2
+    wav = jax.random.normal(jax.random.PRNGKey(0), (B, 800))
+    lens = jnp.array([800, 600])
+    prev = jnp.zeros((B, 4), jnp.int32)
+    imgs = (jax.random.normal(jax.random.PRNGKey(1), (B, 5, 16)),)
+    masks = (jnp.zeros((B, 5), bool),)
+    params = model.init(jax.random.PRNGKey(2), wav, lens, prev, imgs, masks)
+    out = model.apply(params, wav, lens, prev, imgs, masks)
+    assert out["logits"].shape == (B, 4, 40)
+
+
+def test_wav2vec2_multimodal_inlayer_branch():
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config
+
+    w2v = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=24, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=48, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, hidden_dropout=0.0,
+        attention_dropout=0.0,
+    )
+    cfg = small_cfg(speech_encoder_type="wav2vec2_multimodal")
+    model = MMS2UTModel(cfg, w2v_cfg=w2v)
+    B = 2
+    wav = jax.random.normal(jax.random.PRNGKey(0), (B, 800))
+    lens = jnp.array([800, 600])
+    prev = jnp.zeros((B, 4), jnp.int32)
+    imgs = (jax.random.normal(jax.random.PRNGKey(1), (B, 5, 16)),)
+    masks = (jnp.zeros((B, 5), bool),)
+    params = model.init(jax.random.PRNGKey(2), wav, lens, prev, imgs, masks)
+    out = model.apply(params, wav, lens, prev, imgs, masks)
+    assert out["logits"].shape == (B, 4, 40)
+    # The image stream must influence the output (fusion is in-layer).
+    out2 = model.apply(params, wav, lens, prev, (imgs[0] * 0 + 1,), masks)
+    assert not np.allclose(np.asarray(out["logits"]), np.asarray(out2["logits"]))
+
+
+def test_qformer_extractor_path():
+    cfg = small_cfg()
+    cfg.multimodal.multimodal_extractor_type = "q_former"
+    cfg.multimodal.num_queries = 4
+    cfg.multimodal.num_query_layers = 1
+    cfg.multimodal.num_multimodal_layers = 1
+    model = MMS2UTModel(cfg)
+    B, T = 2, 33
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, T, 80))
+    lengths = jnp.array([33, 20])
+    prev = jnp.zeros((B, 4), jnp.int32)
+    imgs = (jax.random.normal(jax.random.PRNGKey(2), (B, 9, 16)),)
+    masks = (jnp.zeros((B, 9), bool),)
+    params = model.init(jax.random.PRNGKey(3), feats, lengths, prev, imgs, masks)
+    out = model.apply(params, feats, lengths, prev, imgs, masks)
+    assert out["logits"].shape == (B, 4, 40)
+    names = {"/".join(str(getattr(k, "key", k)) for k in kp)
+             for kp, _ in jax.tree_util.tree_leaves_with_path(params)}
+    assert any("q_former" in n for n in names)
