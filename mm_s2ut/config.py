@@ -185,6 +185,9 @@ class ModelConfig:
     ctc_weight: float = 0.0
     # Compute dtype for the forward pass (bf16 on TPU, F3).
     dtype: str = "bfloat16"
+    # Fused Pallas attention in the encoder (eval path; train falls back
+    # when attention dropout is active).
+    use_flash_attention: bool = True
     # Multimodal fusion block.
     multimodal: MultimodalConfig = field(default_factory=MultimodalConfig)
 

@@ -152,6 +152,8 @@ class MultiHeadAttention(nn.Module):
         static_kv: bool = False,
         deterministic: bool = True,
         return_weights: bool = False,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        use_flash: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[Cache], Optional[jnp.ndarray]]:
         """Returns (out, new_cache, attn_weights|None).
 
@@ -159,9 +161,25 @@ class MultiHeadAttention(nn.Module):
         * incremental self-attention: pass ``cache``; query is the new step(s).
         * cross-attention with cached encoder K/V: pass ``cache`` with
           ``static_kv=True`` (cache pre-filled via :meth:`precompute_kv`).
+        * ``use_flash`` + ``key_padding_mask`` (no cache/bias/weights):
+          fused Pallas attention kernel (ops.attention).
         """
         key = query if key is None else key
         value = key if value is None else value
+        if (
+            use_flash and cache is None and bias is None and not return_weights
+            and (self.dropout == 0.0 or deterministic)
+        ):
+            from mm_s2ut.ops.attention import attention as fused_attention
+
+            q = self._split(self.q_proj(query))
+            k = self._split(self.k_proj(key))
+            v = self._split(self.v_proj(value))
+            out = fused_attention(q, k, v, key_padding_mask=key_padding_mask)
+            out = self.out_proj(out.reshape(*query.shape[:2], self.embed_dim).astype(self.dtype))
+            return out, None, None
+        if bias is None and key_padding_mask is not None:
+            bias = make_padding_bias(key_padding_mask, self.dtype)
         q = self._split(self.q_proj(query)) * (self.head_dim**-0.5)
 
         new_cache = None
@@ -229,6 +247,7 @@ class TransformerEncoderLayer(nn.Module):
     activation_dropout: float = 0.1
     activation: str = "relu"
     normalize_before: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -237,6 +256,7 @@ class TransformerEncoderLayer(nn.Module):
         x: jnp.ndarray,
         padding_bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        key_padding_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         ln1 = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")
         ln2 = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")
@@ -250,9 +270,16 @@ class TransformerEncoderLayer(nn.Module):
         )
         drop = nn.Dropout(self.dropout)
 
+        use_flash = self.use_flash and key_padding_mask is not None
         residual = x
         h = ln1(x) if self.normalize_before else x
-        h, _, _ = attn(h, bias=padding_bias, deterministic=deterministic)
+        h, _, _ = attn(
+            h,
+            bias=None if use_flash else padding_bias,
+            deterministic=deterministic,
+            key_padding_mask=key_padding_mask if use_flash else None,
+            use_flash=use_flash,
+        )
         h = drop(h, deterministic=deterministic)
         x = residual + h
         if not self.normalize_before:

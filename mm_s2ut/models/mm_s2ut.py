@@ -91,6 +91,7 @@ class MMS2UTModel(nn.Module):
             activation=cfg.activation_fn,
             normalize_before=cfg.encoder_normalize_before,
             max_positions=cfg.max_source_positions,
+            use_flash=cfg.use_flash_attention,
             dtype=dtype,
         )
         if cfg.speaker_embed_dim:

@@ -41,6 +41,7 @@ class SpeechTransformerEncoder(nn.Module):
     activation: str = "relu"
     normalize_before: bool = True
     max_positions: int = 6000
+    use_flash: bool = False  # Pallas fused self-attention (eval path)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -79,9 +80,11 @@ class SpeechTransformerEncoder(nn.Module):
                 activation_dropout=self.activation_dropout,
                 activation=self.activation,
                 normalize_before=self.normalize_before,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"layer{i}",
-            )(x, padding_bias=bias, deterministic=deterministic)
+            )(x, padding_bias=bias, deterministic=deterministic,
+              key_padding_mask=padding_mask)
             if return_all_states:
                 states.append(x)
 

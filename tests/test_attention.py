@@ -1,0 +1,60 @@
+"""Pallas attention kernel vs XLA reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mm_s2ut.ops.attention import flash_attention, reference_attention
+
+NEG_INF = -1e9
+
+
+@pytest.mark.parametrize("tq,s", [(128, 128), (64, 96), (120, 40)])
+def test_flash_matches_reference(tq, s):
+    rng = jax.random.PRNGKey(0)
+    B, H, D = 2, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, tq, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(2), (B, s, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(3), (B, s, H, D))
+    mask = jnp.zeros((B, s), bool).at[1, s // 2 :].set(True)
+    got = np.asarray(
+        flash_attention(q, k, v, key_padding_mask=mask, interpret=True, block_q=32)
+    )
+    bias = jnp.where(mask, NEG_INF, 0.0)[:, None, None, :]
+    want = np.asarray(reference_attention(q * D**-0.5, k, v, bias))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_no_mask():
+    B, T, H, D = 1, 64, 4, 32
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    want = np.asarray(reference_attention(q * D**-0.5, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_flash_flag_matches_reference():
+    """use_flash plumbs through the encoder without changing the math
+    (CPU dispatch falls back to the XLA reference path)."""
+    from mm_s2ut.models.s2t_encoder import SpeechTransformerEncoder
+
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 37, 80))
+    lengths = jnp.array([37, 21])
+    enc_a = SpeechTransformerEncoder(
+        embed_dim=32, ffn_dim=64, num_layers=2, num_heads=2,
+        conv_channels=16, use_flash=False,
+    )
+    enc_b = SpeechTransformerEncoder(
+        embed_dim=32, ffn_dim=64, num_layers=2, num_heads=2,
+        conv_channels=16, use_flash=True,
+    )
+    params = enc_a.init(jax.random.PRNGKey(1), feats, lengths)
+    out_a = enc_a.apply(params, feats, lengths)
+    out_b = enc_b.apply(params, feats, lengths)
+    np.testing.assert_allclose(
+        np.asarray(out_a["encoder_out"]), np.asarray(out_b["encoder_out"]),
+        atol=1e-5, rtol=1e-5,
+    )
