@@ -194,15 +194,28 @@ def beam_search(
 
 
 def tile_state_for_beams(state: Any, beam_size: int) -> Any:
-    """Repeat every state leaf along the batch axis K times
-    (B, ...) → (B·K, ...), beams contiguous per batch element."""
+    """Repeat self-attention caches along the batch axis K times
+    (B, ...) → (B·K, ...), beams contiguous per batch element.
+
+    Cross-attention K/V and the cross bias stay at batch size B: the
+    decoder's cross-attention broadcasts queries over beams instead
+    (MultiHeadAttention beam-broadcast path) so encoder K/V reads don't
+    scale with beam width."""
 
     def tile(x):
         if not hasattr(x, "ndim") or x.ndim == 0:
             return x
         return jnp.repeat(x, beam_size, axis=0)
 
-    return jax.tree_util.tree_map(tile, state)
+    new_layers = []
+    for lstate in state["layers"]:
+        new_layers.append(
+            {
+                "self": jax.tree_util.tree_map(tile, lstate["self"]),
+                "cross": lstate["cross"],
+            }
+        )
+    return {**state, "layers": new_layers}
 
 
 def trim_hypothesis(tokens, eos_id: int = 2, pad_id: int = 1):
