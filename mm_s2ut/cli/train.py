@@ -46,6 +46,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--config", required=True, help="framework config yaml")
     ap.add_argument("--valid-subset", default="valid")
     ap.add_argument("--train-subset", default="train")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in save_dir")
+    ap.add_argument("--load-pretrained-encoder-from", default=None,
+                    help="checkpoint dir to initialize the encoder from "
+                         "(component-wise load, fairseq "
+                         "--load-pretrained-encoder-from parity)")
     ap.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = ap.parse_args(argv)
 
@@ -57,6 +63,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     apply_overrides(cfg, args.overrides)
     task = registry.get_task(cfg.task)(cfg)
     trainer = task.build_trainer()
+    if args.load_pretrained_encoder_from:
+        from mm_s2ut.utils.checkpoint import load_component
+
+        params = load_component(
+            trainer.state.params, args.load_pretrained_encoder_from, "encoder"
+        )
+        trainer.state = trainer.state.replace(params=params)
+    if args.resume:
+        try:
+            step = trainer.restore_checkpoint()
+            logger.info("resumed from step %s", step)
+        except Exception as e:  # fresh run
+            logger.warning("no checkpoint to resume (%s); starting fresh", e)
     writer = MetricsWriter(f"{cfg.train.save_dir}/logs")
 
     has_valid = True

@@ -188,6 +188,9 @@ class ModelConfig:
     # Fused Pallas attention in the encoder (eval path; train falls back
     # when attention dropout is active).
     use_flash_attention: bool = True
+    # Per-layer activation rematerialization in the encoder (reference
+    # --checkpoint-activations → jax.checkpoint).
+    checkpoint_activations: bool = False
     # Multimodal fusion block.
     multimodal: MultimodalConfig = field(default_factory=MultimodalConfig)
 

@@ -92,6 +92,7 @@ class MMS2UTModel(nn.Module):
             normalize_before=cfg.encoder_normalize_before,
             max_positions=cfg.max_source_positions,
             use_flash=cfg.use_flash_attention,
+            remat=cfg.checkpoint_activations,
             dtype=dtype,
         )
         if cfg.speaker_embed_dim:

@@ -42,6 +42,8 @@ class SpeechTransformerEncoder(nn.Module):
     normalize_before: bool = True
     max_positions: int = 6000
     use_flash: bool = False  # Pallas fused self-attention (eval path)
+    remat: bool = False  # activation rematerialization (reference
+    # --checkpoint-activations; here jax.checkpoint per layer)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -72,8 +74,14 @@ class SpeechTransformerEncoder(nn.Module):
         x = x * (~padding_mask)[..., None].astype(x.dtype)
 
         states: List[jnp.ndarray] = []
+        # static_argnums counts self: (x=1, padding_bias=2, deterministic=3,
+        # key_padding_mask=4) — deterministic must stay a Python bool.
+        layer_cls = (
+            nn.remat(TransformerEncoderLayer, static_argnums=(3,))
+            if self.remat else TransformerEncoderLayer
+        )
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.embed_dim, self.ffn_dim, self.num_heads,
                 dropout=self.dropout,
                 attention_dropout=self.attention_dropout,
@@ -83,8 +91,7 @@ class SpeechTransformerEncoder(nn.Module):
                 use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"layer{i}",
-            )(x, padding_bias=bias, deterministic=deterministic,
-              key_padding_mask=padding_mask)
+            )(x, bias, deterministic, padding_mask)
             if return_all_states:
                 states.append(x)
 

@@ -199,19 +199,42 @@ class Trainer:
         step = int(self.state.step)
         self.ckpt_mgr.save(
             step,
-            args=ocp.args.StandardSave({"params": self.state.params}),
+            args=ocp.args.StandardSave(
+                {
+                    "params": self.state.params,
+                    "opt_state": self.state.opt_state,
+                    "step": self.state.step,
+                }
+            ),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
         self.ckpt_mgr.wait_until_finished()
 
-    def restore_checkpoint(self, step: Optional[int] = None):
+    def restore_checkpoint(self, step: Optional[int] = None, params_only: bool = False):
+        """Full resume (params + optimizer state + step) by default;
+        ``params_only`` for inference/fine-tune loads."""
         import orbax.checkpoint as ocp
 
         step = step if step is not None else self.ckpt_mgr.latest_step()
-        restored = self.ckpt_mgr.restore(
-            step, args=ocp.args.StandardRestore({"params": self.state.params})
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.cfg.train.save_dir}")
+        if params_only:
+            restored = self.ckpt_mgr.restore(
+                step, args=ocp.args.StandardRestore({"params": self.state.params})
+            )
+            self.state = self.state.replace(params=restored["params"])
+            return step
+        target = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = self.ckpt_mgr.restore(step, args=ocp.args.StandardRestore(target))
+        self.state = self.state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
         )
-        self.state = self.state.replace(params=restored["params"])
         return step
 
     # -- loop ----------------------------------------------------------------

@@ -161,3 +161,82 @@ def test_checkpoint_roundtrip(tmp_path):
     after = jax.device_get(trainer.state.params)
     chex = pytest.importorskip("chex")
     chex.assert_trees_all_close(before, after)
+
+
+def test_full_resume_restores_step_and_opt_state(tmp_path):
+    cfg = _tiny_cfg()
+    cfg.train.save_dir = str(tmp_path / "ckpt")
+    model = MMS2UTModel(cfg.model)
+    batch = _batch()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+    trainer = Trainer(cfg, model, params)
+    for _ in range(3):
+        trainer.train_batch(batch)
+    trainer.save_checkpoint({"loss": 1.0})
+    trainer.train_batch(batch)
+    assert int(trainer.state.step) == 4
+    trainer.restore_checkpoint()
+    assert int(trainer.state.step) == 3  # full resume incl. step
+
+
+def test_load_component(tmp_path):
+    from mm_s2ut.utils.checkpoint import average_checkpoints, load_component
+
+    cfg = _tiny_cfg()
+    cfg.train.save_dir = str(tmp_path / "ckpt")
+    model = MMS2UTModel(cfg.model)
+    batch = _batch()
+    init = lambda seed: model.init(
+        jax.random.PRNGKey(seed),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+    trainer = Trainer(cfg, model, init(0))
+    trainer.train_batch(batch)
+    trainer.save_checkpoint()
+
+    fresh = init(7)
+    loaded = load_component(fresh, cfg.train.save_dir, "encoder")
+    trained_enc = jax.device_get(trainer.state.params)["params"]["encoder"]
+    got_enc = jax.device_get(loaded)["params"]["encoder"]
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(got_enc, trained_enc)
+    # Decoder stays at the fresh init.
+    fresh_dec = jax.device_get(fresh)["params"]["decoder"]
+    got_dec = jax.device_get(loaded)["params"]["decoder"]
+    chex.assert_trees_all_close(got_dec, fresh_dec)
+
+    avg = average_checkpoints([cfg.train.save_dir])
+    leaf = jax.tree_util.tree_leaves(avg["params"]["encoder"])[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_remat_encoder_grad_matches():
+    """checkpoint_activations=True must not change values or gradients."""
+    cfg_a, cfg_b = _tiny_cfg(), _tiny_cfg()
+    cfg_b.model.checkpoint_activations = True
+    batch = _batch(B=2)
+    model_a = MMS2UTModel(cfg_a.model)
+    model_b = MMS2UTModel(cfg_b.model)
+    params = model_a.init(
+        jax.random.PRNGKey(0),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+
+    def loss(model, p):
+        out = model.apply(
+            p, batch["src_features"], batch["src_lengths"],
+            batch["prev_output_tokens"], batch["imgs_list"], batch["img_masks_list"],
+        )
+        return out["logits"].astype(jnp.float32).sum()
+
+    la, ga = jax.value_and_grad(lambda p: loss(model_a, p))(params)
+    lb, gb = jax.value_and_grad(lambda p: loss(model_b, p))(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(ga, gb, rtol=1e-5, atol=1e-6)
