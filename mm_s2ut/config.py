@@ -102,6 +102,36 @@ class MultimodalConfig:
 
 
 @dataclass
+class MultitaskTaskConfig:
+    """One auxiliary task head (reference --multitask-config-yaml surface,
+    SURVEY.md F9: per-task CTC or transformer-decoder heads with weighted
+    losses; reference models/mm_xm_transformer.py:299-318)."""
+
+    task_name: str = "aux"
+    decoder_type: str = "ctc"  # "ctc" | "transformer"
+    loss_weight: float = 1.0
+    vocab_size: int = 0  # 0 ⇒ main target vocabulary
+    label_smoothing: float = 0.0
+    decoder_layers: int = 2
+    decoder_embed_dim: int = 256
+    decoder_attention_heads: int = 4
+
+
+def load_multitask_yaml(path: "str | Path") -> List[MultitaskTaskConfig]:
+    """Reference multitask yaml: {task_name: {decoder_type, loss_weight,
+    ...}} mapping → list of task configs."""
+    raw = load_yaml(path)
+    tasks = []
+    for name, body in (raw or {}).items():
+        body = dict(body or {})
+        body.pop("dict", None), body.pop("data", None)  # data-side keys
+        known = {f.name for f in dataclasses.fields(MultitaskTaskConfig)}
+        kwargs = {k: v for k, v in body.items() if k in known}
+        tasks.append(MultitaskTaskConfig(task_name=name, **kwargs))
+    return tasks
+
+
+@dataclass
 class NoiseConfig:
     """On-the-fly noise augmentation (reference --noise-config-yaml,
     tasks/speech_to_speech.py:76-81; mixing math data/audio_utils.py:161-233)."""
@@ -191,6 +221,8 @@ class ModelConfig:
     # Per-layer activation rematerialization in the encoder (reference
     # --checkpoint-activations → jax.checkpoint).
     checkpoint_activations: bool = False
+    # Auxiliary multitask heads (F9).
+    multitask: List[MultitaskTaskConfig] = field(default_factory=list)
     # Multimodal fusion block.
     multimodal: MultimodalConfig = field(default_factory=MultimodalConfig)
 
@@ -308,7 +340,12 @@ def load_data_yaml(path: str | Path) -> DataConfig:
 
 def load_config(path: str | Path) -> Config:
     """Load a full framework config (nested task/model/data/train yaml)."""
-    return _build(Config, load_yaml(path))
+    cfg = _build(Config, load_yaml(path))
+    cfg.model.multitask = [
+        t if isinstance(t, MultitaskTaskConfig) else MultitaskTaskConfig(**t)
+        for t in cfg.model.multitask
+    ]
+    return cfg
 
 
 def to_dict(cfg: Any) -> dict:

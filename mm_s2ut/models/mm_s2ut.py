@@ -24,7 +24,12 @@ from flax import linen as nn
 from mm_s2ut import registry
 from mm_s2ut.config import ModelConfig
 from mm_s2ut.models.decoder import CTCHead, UnitDecoder
-from mm_s2ut.models.fusion import FusionBlock, QFormer, modality_dropout
+from mm_s2ut.models.fusion import (
+    ExternalMultimodalEncoder,
+    FusionBlock,
+    QFormer,
+    modality_dropout,
+)
 from mm_s2ut.models.s2t_encoder import SpeechTransformerEncoder
 from mm_s2ut.models.wav2vec2 import (
     Wav2Vec2Config,
@@ -114,6 +119,30 @@ class MMS2UTModel(nn.Module):
                 )
                 for i, dim in enumerate(mm.image_feat_dim)
             ]
+        elif mm.multimodal_attention_type == "external_multimodal_transformer":
+            # Per-layer speech-state fusion tower (reference
+            # multimodal_attention_type external_multimodal_transformer,
+            # mm_s2s_transformer.py:157-172, fuse.py:288-357). One tower per
+            # image source; image features are projected to the encoder
+            # width (the reference requires matching dims).
+            n_layers = mm.external_multimodal_transformer_layers
+            self.external_towers = [
+                ExternalMultimodalEncoder(
+                    embed_dim=cfg.encoder_embed_dim,
+                    num_heads=max(cfg.encoder_embed_dim // 64, 1),
+                    ffn_dim=cfg.encoder_embed_dim * 4,
+                    num_layers=n_layers,
+                    dropout=mm.SA_attention_dropout,
+                    dtype=dtype,
+                    name=f"external_tower{i}",
+                )
+                for i, _ in enumerate(mm.image_feat_dim)
+            ]
+            self.external_img_projs = [
+                nn.Dense(cfg.encoder_embed_dim, dtype=dtype, name=f"external_img_proj{i}")
+                for i, _ in enumerate(mm.image_feat_dim)
+            ]
+            self.fusion_blocks = []
         else:
             self.fusion_blocks = []
         if mm.multimodal_extractor_type == "q_former":
@@ -154,6 +183,35 @@ class MMS2UTModel(nn.Module):
         )
         if cfg.ctc_weight > 0:
             self.ctc_head = CTCHead(cfg.vocab_size, dtype=dtype)
+        # Auxiliary multitask heads (F9): per-task CTC projection or a
+        # small transformer decoder over encoder states.
+        self.multitask_heads = {}
+        mt_heads = {}
+        for t in cfg.multitask:
+            vocab = t.vocab_size or cfg.vocab_size
+            if t.decoder_type == "ctc":
+                mt_heads[t.task_name] = CTCHead(
+                    vocab, dtype=dtype, name=f"mt_{t.task_name}"
+                )
+            else:
+                mt_heads[t.task_name] = UnitDecoder(
+                    vocab_size=vocab,
+                    embed_dim=t.decoder_embed_dim,
+                    ffn_dim=t.decoder_embed_dim * 4,
+                    num_layers=t.decoder_layers,
+                    num_heads=t.decoder_attention_heads,
+                    dropout=cfg.dropout,
+                    attention_dropout=cfg.attention_dropout,
+                    max_positions=cfg.max_target_positions,
+                    dtype=dtype,
+                    name=f"mt_{t.task_name}",
+                )
+                if t.decoder_embed_dim != cfg.encoder_embed_dim:
+                    mt_heads[f"{t.task_name}_proj"] = nn.Dense(
+                        t.decoder_embed_dim, dtype=dtype,
+                        name=f"mt_{t.task_name}_proj",
+                    )
+        self.multitask_heads = mt_heads
 
     # -- encoder side --------------------------------------------------------
 
@@ -212,9 +270,12 @@ class MMS2UTModel(nn.Module):
                    "encoder_states": w2v["hidden_states"]}
             padding_mask = w2v["padding_mask"]
         else:
+            need_states = hasattr(self, "external_towers") or (
+                bool(self.fusion_blocks) and not mm.is_fusion_top
+            )
             out = self.encoder(
                 src_features, src_lengths, deterministic=deterministic,
-                return_all_states=bool(self.fusion_blocks) and not mm.is_fusion_top,
+                return_all_states=need_states,
             )
             x = out["encoder_out"]
             padding_mask = out["encoder_padding_mask"]
@@ -240,6 +301,34 @@ class MMS2UTModel(nn.Module):
                 deterministic=deterministic,
             )
             img_masks_list[0] = jnp.zeros(imgs_list[0].shape[:2], bool)
+
+        if hasattr(self, "external_towers") and imgs_list:
+            if not deterministic and mm.modality_dropout > 0:
+                x, imgs_list = modality_dropout(
+                    self.make_rng("modality"), x, imgs_list,
+                    mm.modality_dropout, mm.audio_dropout,
+                )
+            n_layers = mm.external_multimodal_transformer_layers
+            states = out.get("encoder_states") or [x]
+            speech_states = (states[-n_layers:] + [x] * n_layers)[:n_layers] \
+                if len(states) >= n_layers else [states[-1]] * n_layers
+            fused = []
+            masks = list(img_masks_list) or [None] * len(imgs_list)
+            for tower, proj, img, img_mask in zip(
+                self.external_towers, self.external_img_projs, imgs_list, masks
+            ):
+                img_p = proj(img.astype(x.dtype))
+                fused.append(
+                    tower(
+                        speech_states, [img_p] * n_layers,
+                        m1_key_padding_mask=padding_mask,
+                        m2_key_padding_mask=img_mask,
+                        deterministic=deterministic,
+                    )
+                )
+            x = fused[0]
+            for extra in fused[1:]:
+                x = x + extra
 
         if self.fusion_blocks and mm.is_fusion_top and imgs_list and not in_layer_fusion:
             # Batch-level modality dropout, train only.
@@ -280,6 +369,7 @@ class MMS2UTModel(nn.Module):
         img_masks_list: Sequence[Optional[jnp.ndarray]] = (),
         tgt_speaker: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        multitask_prev_tokens: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Dict[str, Any]:
         enc = self.encode(
             src_features, src_lengths, imgs_list, img_masks_list,
@@ -298,6 +388,25 @@ class MMS2UTModel(nn.Module):
         }
         if self.cfg.ctc_weight > 0:
             out["ctc_logits"] = self.ctc_head(enc["encoder_out"])
+        if self.cfg.multitask:
+            mt_out = {}
+            for t in self.cfg.multitask:
+                head = self.multitask_heads[t.task_name]
+                if t.decoder_type == "ctc":
+                    mt_out[t.task_name] = head(enc["encoder_out"])
+                else:
+                    mem = enc["encoder_out"]
+                    proj = self.multitask_heads.get(f"{t.task_name}_proj")
+                    if proj is not None:
+                        mem = proj(mem)
+                    prev = (multitask_prev_tokens or {}).get(t.task_name)
+                    if prev is None:
+                        continue  # no aux targets in this batch
+                    mt_out[t.task_name] = head(
+                        prev, mem, enc["encoder_padding_mask"],
+                        deterministic=deterministic,
+                    )
+            out["multitask_logits"] = mt_out
         return out
 
     # -- incremental decoding (beam search) ------------------------------------

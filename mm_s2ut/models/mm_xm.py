@@ -178,6 +178,7 @@ class MMXMTransformerModel(nn.Module):
         tgt_speaker: Optional[jnp.ndarray] = None,  # trainer-call parity (unused)
         deterministic: bool = True,
         apply_mask: bool = False,
+        multitask_prev_tokens: Optional[Dict[str, jnp.ndarray]] = None,  # TODO(round2): aux heads here too
     ) -> Dict[str, Any]:
         enc = self.encode(
             src_tokens, src_lengths, imgs_list, img_masks_list,

@@ -94,6 +94,29 @@ def speech_to_unit_criterion(
         ).sum()
         loss = loss + ctc_weight * ctc
         metrics["ctc_loss"] = ctc
+    # Auxiliary multitask heads (F9): weighted per-task CTC/CE terms
+    # (reference MultitaskCriterion aggregation,
+    # criterions/speech_to_speech_criterion.py:58-102).
+    mt_logits = outputs.get("multitask_logits") or {}
+    mt_targets = batch.get("multitask_targets") or {}
+    for task in unused.get("multitask", ()):
+        name = task.task_name
+        if name not in mt_logits or name not in mt_targets:
+            continue
+        tgt = mt_targets[name]
+        if task.decoder_type == "ctc":
+            enc_mask = outputs["encoder_padding_mask"]
+            tmask = tgt != pad_id
+            aux = ctc_loss(
+                mt_logits[name], (~enc_mask).sum(-1), tgt, tmask.sum(-1),
+                blank_id=ctc_blank_id,
+            ).sum()
+        else:
+            aux, _, aux_m = label_smoothed_nll_loss(
+                mt_logits[name], tgt, task.label_smoothing, pad_id
+            )
+        loss = loss + task.loss_weight * aux
+        metrics[f"{name}_loss"] = aux
     metrics["loss"] = loss
     return loss, metrics
 

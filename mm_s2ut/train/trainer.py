@@ -71,6 +71,7 @@ def make_train_step(
             batch.get("img_masks_list", ()),
             batch.get("tgt_speaker"),
             deterministic=False,
+            multitask_prev_tokens=batch.get("multitask_prev_tokens"),
             rngs={"dropout": r[0], "modality": r[1]},
         )
         outputs = call((d_rng, m_rng))
@@ -144,6 +145,7 @@ class Trainer:
         ckw = {
             "label_smoothing": cfg.train.label_smoothing,
             "ctc_weight": cfg.model.ctc_weight,
+            "multitask": tuple(cfg.model.multitask),
         }
         self._train_step = jax.jit(
             make_train_step(

@@ -249,3 +249,66 @@ def test_qformer_extractor_path():
     names = {"/".join(str(getattr(k, "key", k)) for k in kp)
              for kp, _ in jax.tree_util.tree_leaves_with_path(params)}
     assert any("q_former" in n for n in names)
+
+
+def test_external_multimodal_transformer_type():
+    cfg = small_cfg()
+    cfg.multimodal.multimodal_attention_type = None
+    # bypass validate(): external type is a model-level extension
+    object.__setattr__(cfg.multimodal, "multimodal_attention_type",
+                       "external_multimodal_transformer")
+    cfg.multimodal.external_multimodal_transformer_layers = 2
+    model = MMS2UTModel(cfg)
+    B, T = 2, 33
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, T, 80))
+    lengths = jnp.array([33, 20])
+    prev = jnp.zeros((B, 4), jnp.int32)
+    imgs = (jax.random.normal(jax.random.PRNGKey(2), (B, 9, 16)),)
+    masks = (jnp.zeros((B, 9), bool),)
+    params = model.init(jax.random.PRNGKey(3), feats, lengths, prev, imgs, masks)
+    out = model.apply(params, feats, lengths, prev, imgs, masks)
+    assert out["logits"].shape == (B, 4, 40)
+    names = {"/".join(str(getattr(k, "key", k)) for k in kp)
+             for kp, _ in jax.tree_util.tree_leaves_with_path(params)}
+    assert any("external_tower0" in n for n in names)
+
+
+def test_multitask_heads_and_losses():
+    from mm_s2ut.config import MultitaskTaskConfig
+    from mm_s2ut.train.criterion import speech_to_unit_criterion
+
+    cfg = small_cfg()
+    cfg.multitask = [
+        MultitaskTaskConfig(task_name="src_ctc", decoder_type="ctc",
+                            loss_weight=0.5, vocab_size=12),
+        MultitaskTaskConfig(task_name="tgt_lm", decoder_type="transformer",
+                            loss_weight=2.0, vocab_size=15,
+                            decoder_layers=1, decoder_embed_dim=32,
+                            decoder_attention_heads=2),
+    ]
+    model = MMS2UTModel(cfg)
+    B, T = 2, 33
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, T, 80))
+    lengths = jnp.array([33, 20])
+    prev = jnp.zeros((B, 4), jnp.int32)
+    mt_prev = {"tgt_lm": jnp.zeros((B, 5), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(1), feats, lengths, prev,
+                        multitask_prev_tokens=mt_prev)
+    out = model.apply(params, feats, lengths, prev,
+                      multitask_prev_tokens=mt_prev)
+    assert out["multitask_logits"]["src_ctc"].shape[-1] == 12
+    assert out["multitask_logits"]["tgt_lm"].shape == (B, 5, 15)
+
+    batch = {
+        "target": jnp.full((B, 4), 5, jnp.int32),
+        "multitask_targets": {
+            "src_ctc": jnp.full((B, 3), 4, jnp.int32),
+            "tgt_lm": jnp.full((B, 5), 6, jnp.int32),
+        },
+    }
+    loss_with, metrics = speech_to_unit_criterion(
+        out, batch, label_smoothing=0.1, multitask=tuple(cfg.multitask)
+    )
+    loss_without, _ = speech_to_unit_criterion(out, batch, label_smoothing=0.1)
+    assert float(loss_with) > float(loss_without)
+    assert "src_ctc_loss" in metrics and "tgt_lm_loss" in metrics
