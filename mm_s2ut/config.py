@@ -155,6 +155,10 @@ class DataConfig:
     # Fbank frontend (kaldi-compatible; reference data/audio_utils.py:326-349).
     num_mel_bins: int = 80
     sample_rate: int = 16000
+    # Optional per-utterance target speaker embeddings: TSV with columns
+    # (id, speaker_embed) mapping ids to .npy files (reference
+    # cfg.target_speaker_embed, data/speech_to_speech_dataset.py:137-144).
+    target_speaker_embed: str = ""
     # Target side.
     target_is_code: bool = True
     target_code_size: int = 1000

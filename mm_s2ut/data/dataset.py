@@ -105,6 +105,16 @@ class SpeechToSpeechDataset:
         self.noise_cfg = noise_cfg or NoiseConfig()
         self.n_frames_per_step = data_cfg.n_frames_per_step
         self.rng = np.random.RandomState(seed)
+        # Optional target speaker embeddings keyed by manifest id.
+        self.speaker_embeds: Optional[Dict[str, str]] = None
+        if data_cfg.target_speaker_embed:
+            import csv
+
+            with open(data_cfg.target_speaker_embed, newline="") as f:
+                reader = csv.DictReader(f, delimiter="\t")
+                self.speaker_embeds = {
+                    r["id"]: r["speaker_embed"] for r in reader
+                }
 
     # -- creation ------------------------------------------------------------
 
@@ -245,10 +255,14 @@ class SpeechToSpeechDataset:
                 _, feat, mask = store[img_idx]
                 imgs.append(np.asarray(feat, np.float32))
                 masks.append(None if mask is None else np.asarray(mask, bool))
+        speaker = None
+        if self.speaker_embeds is not None and row.id in self.speaker_embeds:
+            speaker = np.load(self.speaker_embeds[row.id]).astype(np.float32).reshape(-1)
         return S2SItem(
             index=index, id=row.id, source=np.zeros(0, np.float32),
             target=target, tgt_lang_tag=tgt_lang_tag,
             src_audio_path=row.src_audio, imgs=imgs, img_masks=masks,
+            speaker=speaker,
         )
 
     def _collate_targets(
@@ -289,6 +303,8 @@ class SpeechToSpeechDataset:
                     masks_list.append(np.zeros((B, imgs_list[k].shape[1]), bool))
             batch["imgs_list"] = tuple(imgs_list)
             batch["img_masks_list"] = tuple(masks_list)
+        if items[0].speaker is not None:
+            batch["tgt_speaker"] = np.stack([it.speaker for it in items])
         return batch
 
     # -- collation -------------------------------------------------------------

@@ -169,3 +169,28 @@ def test_tile_noise():
     out = tile_noise_to_length(noise, 25, start=0)
     assert len(out) == 25
     np.testing.assert_array_equal(out[:10], noise)
+
+
+def test_speaker_embed_plumbing(tmp_path):
+    sr = 16000
+    d = UnitDictionary(20)
+    rng = np.random.RandomState(0)
+    rows = []
+    spk_lines = ["id\tspeaker_embed"]
+    for i in range(2):
+        wav = (0.2 * rng.randn(sr // 8)).astype(np.float32)
+        write_wav(tmp_path / f"{i + 1}.wav", wav, sr)
+        emb = rng.randn(16).astype(np.float32)
+        np.save(tmp_path / f"spk{i}.npy", emb)
+        spk_lines.append(f"{i}\t{tmp_path / f'spk{i}.npy'}")
+        rows.append(ManifestRow(str(i), f"{i + 1}.wav", sr // 8, "1 2 3", 3))
+    write_manifest(tmp_path / "train.tsv", rows)
+    (tmp_path / "spk.tsv").write_text("\n".join(spk_lines) + "\n")
+
+    cfg = DataConfig(audio_root=str(tmp_path),
+                     target_speaker_embed=str(tmp_path / "spk.tsv"))
+    ds = SpeechToSpeechDataset.from_tsv(tmp_path, "train", cfg, d, None)
+    item = ds[0]
+    assert item.speaker is not None and item.speaker.shape == (16,)
+    batch = ds.collate([ds[0], ds[1]])
+    assert batch["tgt_speaker"].shape == (2, 16)
