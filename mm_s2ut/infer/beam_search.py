@@ -31,13 +31,22 @@ NEG_INF = -1.0e7
 
 
 def _gather_beams(x: jnp.ndarray, indices: jnp.ndarray, batch: int, k_from: int) -> jnp.ndarray:
-    """Gather beams: x (B*Kf, ...) + indices (B, Kt) → (B*Kt, ...)."""
+    """Gather beams: x (B*Kf, ...) + indices (B, Kt) → (B*Kt, ...).
+
+    Implemented as a one-hot matmul over the beam axis rather than a
+    gather: XLA lowers in-loop gathers of large carried buffers poorly on
+    TPU (measured ~1.6 ms/step at (8·5, 201, 8, 64)×12), while a
+    (B, Kt, Kf) × (B, Kf, N) batched matmul streams the cache through the
+    MXU once."""
     shape = x.shape
-    x = x.reshape(batch, k_from, *shape[1:])
-    out = jnp.take_along_axis(
-        x, indices.reshape(batch, -1, *([1] * (x.ndim - 2))), axis=1
+    k_to = indices.shape[1]
+    onehot = jax.nn.one_hot(indices, k_from, dtype=x.dtype)  # (B, Kt, Kf)
+    xr = x.reshape(batch, k_from, -1)
+    out = jnp.einsum(
+        "bjk,bkn->bjn", onehot, xr,
+        preferred_element_type=xr.dtype,
     )
-    return out.reshape(batch * indices.shape[1], *shape[1:])
+    return out.reshape(batch * k_to, *shape[1:])
 
 
 def _reorder_cache(state: Any, indices: jnp.ndarray, batch: int, k: int) -> Any:
