@@ -1,10 +1,12 @@
-"""Benchmark: end-to-end S2UT generation throughput on one TPU chip.
+"""Benchmark: end-to-end S2ST throughput on one TPU chip.
 
-Pipeline measured (BASELINE.json config 4 shape): 16 kHz waveform batch →
+Pipeline measured (BASELINE.json config 5): 16 kHz waveform batch →
 on-device kaldi fbank → flagship mm_s2ut_transformer encoder with
 selective-attention image fusion (577×768 ViT features) → beam-5 unit
 decode, 200 steps (the reference operating point is beam 10 /
-max-len-b 200 — scripts/textless/2_inference.sh).
+max-len-b 200 — scripts/textless/2_inference.sh) → CodeHiFiGAN unit
+vocoder with duration prediction → waveforms. All stages run inside one
+compiled program per batch.
 
 Methodology: the whole pipeline is wrapped in ``lax.scan`` over N batches
 inside ONE compiled program, and throughput is computed from the marginal
@@ -35,6 +37,7 @@ def main():
 
     from __graft_entry__ import _flagship_cfg
     from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
+    from mm_s2ut.models.hifigan import CodeHiFiGAN, HiFiGANConfig
     from mm_s2ut.models.mm_s2ut import MMS2UTModel
     from mm_s2ut.ops.fbank import FbankConfig, batched_log_mel_fbank
 
@@ -44,6 +47,8 @@ def main():
 
     cfg = _flagship_cfg()
     model = MMS2UTModel(cfg)
+    voc_cfg = HiFiGANConfig()  # published code_hifigan architecture
+    vocoder = CodeHiFiGAN(voc_cfg, max_frames=4 * MAX_LEN)
     rng = np.random.RandomState(0)
     imgs = (rng.randn(B, 577, 768).astype(np.float32),)
     img_masks = (np.zeros((B, 577), bool),)
@@ -58,8 +63,12 @@ def main():
         jax.random.PRNGKey(0), feats0, fl0,
         np.zeros((B, 8), np.int32), imgs, img_masks,
     )
+    voc_params = vocoder.init(
+        jax.random.PRNGKey(1), jnp.zeros((B, MAX_LEN), jnp.int32),
+        jnp.full((B,), MAX_LEN, jnp.int32),
+    )
 
-    def one_batch(params, wavs, wav_lengths, imgs, img_masks):
+    def one_batch(params, voc_params, wavs, wav_lengths, imgs, img_masks):
         feats, frame_lens = batched_log_mel_fbank(
             wavs * 32768.0, wav_lengths, fbank_cfg
         )
@@ -77,13 +86,20 @@ def main():
             decode_step, state, B, beam_size=BEAM, max_len=MAX_LEN,
             eos_id=2, bos_id=2, pad_id=1, vocab_size=cfg.vocab_size,
         )
-        return seqs, scores
+        # Top hypothesis → units (offset-4) → unit HiFi-GAN → waveform.
+        best = seqs[:, 0, :]  # (B, MAX_LEN)
+        units = jnp.clip(best - 4, 0, voc_cfg.num_embeddings - 1)
+        n_units = (best >= 4).astype(jnp.int32).sum(-1)
+        wav_out, n_samples = vocoder.apply(voc_params, units, n_units)
+        return seqs, scores, wav_out, n_samples
 
     @partial(jax.jit, static_argnames=("n",))
-    def run_n(params, all_wavs, wav_lengths, imgs, img_masks, n):
+    def run_n(params, voc_params, all_wavs, wav_lengths, imgs, img_masks, n):
         def step(carry, wavs):
-            seqs, scores = one_batch(params, wavs, wav_lengths, imgs, img_masks)
-            return carry + scores.sum() + seqs.sum(), None
+            seqs, scores, wav_out, n_samples = one_batch(
+                params, voc_params, wavs, wav_lengths, imgs, img_masks
+            )
+            return carry + scores.sum() + wav_out.sum() + n_samples.sum(), None
 
         out, _ = jax.lax.scan(
             step, jnp.zeros((), jnp.float32), all_wavs[:n], length=n
@@ -91,7 +107,7 @@ def main():
         return out
 
     wavs_n2 = (rng.randn(N2, B, SECONDS * SR) * 0.1).astype(np.float32)
-    args = (params, jnp.asarray(wavs_n2), jnp.asarray(wav_lengths),
+    args = (params, voc_params, jnp.asarray(wavs_n2), jnp.asarray(wav_lengths),
             tuple(jnp.asarray(x) for x in imgs),
             tuple(jnp.asarray(x) for x in img_masks))
 
@@ -108,7 +124,7 @@ def main():
     rtf = B * SECONDS / marginal
 
     print(json.dumps({
-        "metric": "e2e_s2ut_beam5_utterances_per_sec",
+        "metric": "e2e_s2st_beam5_vocoder_utterances_per_sec",
         "value": round(utt_per_sec, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),

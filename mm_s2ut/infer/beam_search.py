@@ -50,22 +50,25 @@ def _gather_beams(x: jnp.ndarray, indices: jnp.ndarray, batch: int, k_from: int)
 
 
 def _reorder_cache(state: Any, indices: jnp.ndarray, batch: int, k: int) -> Any:
-    """Reorder self-attention caches along the beam axis; cross caches and
-    biases are beam-invariant (tiled) and skipped."""
-    new_layers = []
-    for lstate in state["layers"]:
-        self_c = lstate["self"]
-        new_layers.append(
-            {
-                "self": {
-                    "k": _gather_beams(self_c["k"], indices, batch, k),
-                    "v": _gather_beams(self_c["v"], indices, batch, k),
-                    "index": self_c["index"],
-                },
-                "cross": lstate["cross"],
-            }
-        )
-    return {**state, "layers": new_layers}
+    """Reorder the stacked self-attention cache along the beam axis with a
+    single one-hot batched matmul (cross caches/biases are beam-invariant
+    and untouched). One big einsum streams the whole cache once; per-layer
+    gathers fragment into dozens of poorly-tiled in-loop ops."""
+    kv = state["self_kv"]  # (B·K, 2, L_layers, T, H, Dh) — beams leading
+    flat = (jnp.arange(batch)[:, None] * k + indices).reshape(-1)
+    # In-loop lax.gather on a big carried buffer lowers poorly on TPU
+    # (119 GB/s); a Pallas scalar-prefetch copy kernel or per-row
+    # dynamic slices both roughly double that (measured at
+    # (40, 2·6·201·8·64) bf16).
+    from mm_s2ut.ops import beam_reorder
+
+    if beam_reorder.supported(kv):
+        return {**state, "self_kv": beam_reorder.reorder_rows(kv, flat)}
+    rows = [
+        jax.lax.dynamic_index_in_dim(kv, flat[i], axis=0, keepdims=False)
+        for i in range(kv.shape[0])
+    ]
+    return {**state, "self_kv": jnp.stack(rows, axis=0)}
 
 
 def _length_norm(length: jnp.ndarray, alpha: float) -> jnp.ndarray:
@@ -211,20 +214,10 @@ def tile_state_for_beams(state: Any, beam_size: int) -> Any:
     (MultiHeadAttention beam-broadcast path) so encoder K/V reads don't
     scale with beam width."""
 
-    def tile(x):
-        if not hasattr(x, "ndim") or x.ndim == 0:
-            return x
-        return jnp.repeat(x, beam_size, axis=0)
-
-    new_layers = []
-    for lstate in state["layers"]:
-        new_layers.append(
-            {
-                "self": jax.tree_util.tree_map(tile, lstate["self"]),
-                "cross": lstate["cross"],
-            }
-        )
-    return {**state, "layers": new_layers}
+    return {
+        **state,
+        "self_kv": jnp.repeat(state["self_kv"], beam_size, axis=0),
+    }
 
 
 def trim_hypothesis(tokens, eos_id: int = 2, pad_id: int = 1):

@@ -175,47 +175,111 @@ class UnitDecoder(nn.Module):
         encoder_padding_mask: Optional[jnp.ndarray],
         max_len: int,
     ) -> DecoderState:
-        """Pre-project encoder K/V per layer and allocate self-attn caches."""
+        """Pre-project encoder K/V per layer; allocate ONE stacked
+        self-attention cache (2, num_layers, B, max_len, H, Dh) — a single
+        buffer so the beam-search reorder is one batched matmul instead of
+        2·num_layers small ones (in-loop op fragmentation dominates the
+        decode step otherwise)."""
         B = encoder_out.shape[0]
-        state: DecoderState = {"step": jnp.zeros((), jnp.int32), "layers": []}
-        for layer in self.layers:
-            state["layers"].append(
-                {
-                    "self": layer.self_attn.init_cache(B, max_len),
-                    "cross": layer.cross_attn.precompute_kv(encoder_out),
-                }
-            )
+        H = self.num_heads
+        Dh = self.embed_dim // H
+        # Beam/batch axis LEADING: the beam-search reorder is then a plain
+        # leading-axis row gather (the efficient gather form on TPU; any
+        # other layout forced relayout copies around the reorder).
+        state: DecoderState = {
+            "step": jnp.zeros((), jnp.int32),
+            "self_kv": jnp.zeros(
+                (B, 2, self.num_layers, max_len, H, Dh), self.dtype
+            ),
+            "cross": [layer.cross_attn.precompute_kv(encoder_out) for layer in self.layers],
+        }
         state["cross_bias"] = (
             make_padding_bias(encoder_padding_mask, self.dtype)
             if encoder_padding_mask is not None else None
         )
         return state
 
+    def _self_attn_step(
+        self, layer, x: jnp.ndarray, k_old: jnp.ndarray, v_old: jnp.ndarray,
+        step_idx: jnp.ndarray,
+    ):
+        """Single-token self-attention against the read-only history buffer
+        plus the freshly projected token — no per-layer cache write (the
+        stacked buffer gets ONE batched row update per step; per-layer
+        .at[].set() copies the whole stack each time)."""
+        attn = layer.self_attn
+        scale = attn.head_dim**-0.5
+        q = attn._split(attn.q_proj(x)) * scale  # (B, 1, H, Dh)
+        k_new = attn._split(attn.k_proj(x))
+        v_new = attn._split(attn.v_proj(x))
+        logits_hist = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_old, preferred_element_type=jnp.float32
+        )  # (B, H, 1, T)
+        T = k_old.shape[1]
+        valid = jnp.arange(T)[None, None, None, :] < step_idx
+        logits_hist = jnp.where(valid, logits_hist, -1e9)
+        logit_self = jnp.einsum(
+            "bqhd,bqhd->bhq", q, k_new, preferred_element_type=jnp.float32
+        )[..., None]  # (B, H, 1, 1)
+        logits = jnp.concatenate([logits_hist, logit_self], axis=-1)
+        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w[..., :T], v_old)
+        w_self = w[..., -1].transpose(0, 2, 1)[..., None]  # (B, 1, H, 1)
+        out = out + w_self * v_new
+        out = attn.out_proj(out.reshape(x.shape[0], 1, attn.embed_dim))
+        return out, k_new, v_new
+
     def step(
         self,
-        prev_token: jnp.ndarray,  # (B, 1) the token(s) generated last step
+        prev_token: jnp.ndarray,  # (B, 1) the token generated last step
         state: DecoderState,
     ) -> Tuple[jnp.ndarray, DecoderState]:
         """One decode step → ((B, V) logits, updated state)."""
         x = self.embed(prev_token) * self.embed_scale
         x = self.pos(x, offset=state["step"])
-        new_layers = []
-        for layer, lstate in zip(self.layers, state["layers"]):
-            x, self_cache, _ = layer(
-                x, None,
-                self_bias=None,
-                cross_bias=state["cross_bias"],
-                self_cache=lstate["self"],
-                cross_cache=lstate["cross"],
-                deterministic=True,
+        step_idx = state["step"]
+        kv = state["self_kv"]
+        new_ks, new_vs = [], []
+        for i, layer in enumerate(self.layers):
+            # Self-attention (pre/post-norm per layer config).
+            residual = x
+            h = layer.self_attn_layer_norm(x) if self.normalize_before else x
+            h, k_new, v_new = self._self_attn_step(
+                layer, h, kv[:, 0, i], kv[:, 1, i], step_idx
             )
-            new_layers.append({"self": self_cache, "cross": lstate["cross"]})
+            new_ks.append(k_new)
+            new_vs.append(v_new)
+            x = residual + h
+            if not self.normalize_before:
+                x = layer.self_attn_layer_norm(x)
+            # Cross-attention over the precomputed (beam-shared) encoder K/V.
+            residual = x
+            h = layer.cross_attn_layer_norm(x) if self.normalize_before else x
+            h, _, _ = layer.cross_attn(
+                h, bias=state["cross_bias"], cache=state["cross"][i],
+                static_kv=True, deterministic=True,
+            )
+            x = residual + h
+            if not self.normalize_before:
+                x = layer.cross_attn_layer_norm(x)
+            # FFN.
+            residual = x
+            h = layer.final_layer_norm(x) if self.normalize_before else x
+            x = residual + layer.ffn(h, deterministic=True)
+            if not self.normalize_before:
+                x = layer.final_layer_norm(x)
         if self.normalize_before:
             x = self.final_norm(x)
         logits = self._output(x)[:, -1]
+        # ONE batched write: (B, 2, nL, 1, H, Dh) rows at time step_idx.
+        new_rows = jnp.stack(
+            [jnp.stack(new_ks, axis=1), jnp.stack(new_vs, axis=1)], axis=1
+        )  # new_k[i]: (B, 1, H, Dh) → stack layers axis=1 → (B, nL, 1, H, Dh)
+        kv = jax.lax.dynamic_update_slice_in_dim(kv, new_rows, step_idx, axis=3)
         new_state = {
-            "step": state["step"] + 1,
-            "layers": new_layers,
+            "step": step_idx + 1,
+            "self_kv": kv,
+            "cross": state["cross"],
             "cross_bias": state["cross_bias"],
         }
         return logits, new_state
