@@ -47,8 +47,10 @@ def main():
 
     cfg = _flagship_cfg()
     model = MMS2UTModel(cfg)
+    import jax.numpy as _jnp
+
     voc_cfg = HiFiGANConfig()  # published code_hifigan architecture
-    vocoder = CodeHiFiGAN(voc_cfg, max_frames=4 * MAX_LEN)
+    vocoder = CodeHiFiGAN(voc_cfg, max_frames=4 * MAX_LEN, dtype=_jnp.bfloat16)
     rng = np.random.RandomState(0)
     imgs = (rng.randn(B, 577, 768).astype(np.float32),)
     img_masks = (np.zeros((B, 577), bool),)
