@@ -66,6 +66,11 @@ class UnitGenerator:
         score: {"tokens": List[int], "score": float}."""
         B = src_features.shape[0]
         K = self.cfg.beam
+        for img in imgs_list:
+            if img.shape[0] != B:
+                raise ValueError(
+                    f"image batch {img.shape[0]} != audio batch {B}"
+                )
         enc = self._encode(
             self.params, jnp.asarray(src_features), jnp.asarray(src_lengths),
             tuple(jnp.asarray(x) for x in imgs_list),

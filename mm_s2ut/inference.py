@@ -67,7 +67,15 @@ def load_image_features(
         if hasattr(feats, "keys"):
             feats = feats[list(feats.keys())[0]]
         feats = np.asarray(feats, np.float32)
-        return feats[None] if feats.ndim == 2 else feats
+        if feats.ndim == 2:
+            return feats[None]
+        if feats.ndim == 3 and feats.shape[0] == 1:
+            return feats
+        raise ValueError(
+            f"{image_path} holds {feats.shape[0]} images — single-sample "
+            "inference needs one (T_img, D) feature array; slice the split "
+            "blob first (np.save(out, blob[i]))"
+        )
     if vit_checkpoint is None:
         raise ValueError(
             "raw image input requires --vit_checkpoint (timm pytorch_model.bin)"
