@@ -58,6 +58,7 @@ VIT_VARIANTS = {
 class ViTBlock(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_attn: bool = False):
@@ -68,9 +69,28 @@ class ViTBlock(nn.Module):
         q, k, v = jnp.split(qkv.reshape(B, T, 3, c.num_heads, D // c.num_heads), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
         scale = (D // c.num_heads) ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v).reshape(B, T, D)
+        if self.use_flash and not return_attn:
+            from mm_s2ut.ops.attention import attention as fused_attention
+
+            attn = None
+            # Pad keys/values to a lane-friendly length (577 → 584) with a
+            # padding mask; queries keep their true length.
+            pad = (-T) % 8
+            if pad:
+                kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                mask = jnp.arange(T + pad)[None, :] >= T
+                mask = jnp.broadcast_to(mask, (B, T + pad))
+            else:
+                kp, vp, mask = k, v, None
+            out = fused_attention(q, kp, vp, key_padding_mask=mask, scale=scale)
+            out = out.reshape(B, T, D)
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+            )
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v).reshape(B, T, D)
         out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
         x = x + out
         h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype, name="norm2")(x)
@@ -84,6 +104,7 @@ class ViTBlock(nn.Module):
 class VisionTransformer(nn.Module):
     cfg: ViTConfig = ViTConfig()
     dtype: Any = jnp.float32
+    use_flash: bool = True  # fused Pallas attention on TPU (577 tokens)
 
     @nn.compact
     def __call__(
@@ -108,7 +129,9 @@ class VisionTransformer(nn.Module):
         x = x + pos.astype(self.dtype)
         attns = [] if return_attn else None
         for i in range(c.depth):
-            x, attn = ViTBlock(c, dtype=self.dtype, name=f"block{i}")(x, return_attn)
+            x, attn = ViTBlock(
+                c, dtype=self.dtype, use_flash=self.use_flash, name=f"block{i}"
+            )(x, return_attn)
             if return_attn:
                 attns.append(attn)
         x = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype, name="norm")(x)
