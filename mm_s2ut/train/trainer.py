@@ -154,8 +154,7 @@ class Trainer:
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(make_eval_step(model, criterion, ckw))
-        with jax.set_mesh(self.mesh) if hasattr(jax, "set_mesh") else _nullcontext():
-            state = TrainState.create(init_params, self.tx)
+        state = TrainState.create(init_params, self.tx)
         shardings = TrainState(
             step=replicated(self.mesh),
             params=param_shardings(self.mesh, state.params),
@@ -313,11 +312,3 @@ class Trainer:
         valid_metrics = self.evaluate(valid_iter()) if valid_iter is not None else {}
         self.save_checkpoint(valid_metrics)
         return self.state
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

@@ -312,3 +312,19 @@ def test_multitask_heads_and_losses():
     loss_without, _ = speech_to_unit_criterion(out, batch, label_smoothing=0.1)
     assert float(loss_with) > float(loss_without)
     assert "src_ctc_loss" in metrics and "tgt_lm_loss" in metrics
+
+
+def test_in_graph_positions_match_table():
+    """The in-graph sin/cos positions equal the fairseq-convention table
+    (the table function is kept as the documented oracle)."""
+    from mm_s2ut.models.layers import SinusoidalPositionalEmbedding, sinusoidal_positions
+
+    dim, T = 16, 12
+    mod = SinusoidalPositionalEmbedding(dim)
+    x = jnp.zeros((1, T, dim))
+    pe = np.asarray(mod.apply({}, x))[0]
+    table = sinusoidal_positions(64, dim)[:T]
+    np.testing.assert_allclose(pe, table, atol=1e-5)
+    # Offset slicing matches too (decode path).
+    pe_off = np.asarray(mod.apply({}, x[:, :4], offset=jnp.asarray(3)))[0]
+    np.testing.assert_allclose(pe_off, table[3:7], atol=1e-5)
