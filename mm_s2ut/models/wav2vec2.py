@@ -53,6 +53,11 @@ class Wav2Vec2Config:
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     vocab_size: int = 32  # CTC head (ASR use)
+    # TPU knobs (not part of the HF surface): fused Pallas attention, and
+    # optional frame padding to a lane-friendly multiple (changes the
+    # padded output length; masked positions carry no information).
+    use_flash_attention: bool = True
+    pad_to_multiple: int = 1
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "Wav2Vec2Config":
@@ -163,7 +168,7 @@ class Wav2Vec2EncoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias=None, deterministic=True):
+    def __call__(self, x, bias=None, deterministic=True, key_padding_mask=None):
         c = self.cfg
         attn = MultiHeadAttention(
             c.hidden_size, c.num_attention_heads, c.attention_dropout,
@@ -173,13 +178,20 @@ class Wav2Vec2EncoderLayer(nn.Module):
         ln2 = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")
         drop = nn.Dropout(c.hidden_dropout)
 
+        use_flash = c.use_flash_attention and key_padding_mask is not None
+        akw = dict(
+            bias=None if use_flash else bias,
+            deterministic=deterministic,
+            key_padding_mask=key_padding_mask if use_flash else None,
+            use_flash=use_flash,
+        )
         if c.do_stable_layer_norm:  # pre-norm (large)
-            h, _, _ = attn(ln1(x), bias=bias, deterministic=deterministic)
+            h, _, _ = attn(ln1(x), **akw)
             x = x + drop(h, deterministic=deterministic)
             h = self._ffn(ln2(x), deterministic)
             x = x + h
         else:  # post-norm (base)
-            h, _, _ = attn(x, bias=bias, deterministic=deterministic)
+            h, _, _ = attn(x, **akw)
             x = ln1(x + drop(h, deterministic=deterministic))
             x = ln2(x + self._ffn(x, deterministic))
         return x
@@ -232,10 +244,15 @@ class Wav2Vec2Model(nn.Module):
             # The reference always freezes the conv frontend
             # (mm_s2s_transformer.py:231, 1_train.sh --freeze-finetune-updates).
             feats = jax.lax.stop_gradient(feats)
+        T_true = feats.shape[1]
+        if c.pad_to_multiple > 1:
+            pad = (-feats.shape[1]) % c.pad_to_multiple
+            if pad:
+                feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
         T = feats.shape[1]
         feat_lens = (
             c.feature_lengths(lengths) if lengths is not None
-            else jnp.full((feats.shape[0],), T, jnp.int32)
+            else jnp.full((feats.shape[0],), T_true, jnp.int32)
         )
         padding_mask = jnp.arange(T)[None, :] >= feat_lens[:, None]
 
@@ -260,7 +277,10 @@ class Wav2Vec2Model(nn.Module):
         bias = make_padding_bias(padding_mask, self.dtype)
         states = [hidden]
         for layer in self.layers:
-            hidden = layer(hidden, bias=bias, deterministic=deterministic)
+            hidden = layer(
+                hidden, bias=bias, deterministic=deterministic,
+                key_padding_mask=padding_mask,
+            )
             states.append(hidden)
         if c.do_stable_layer_norm:
             hidden = self.encoder_norm(hidden)

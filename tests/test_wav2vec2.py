@@ -122,3 +122,24 @@ def test_multimodal_inlayer_fusion():
     assert not np.allclose(
         np.asarray(out["last_hidden_state"]), np.asarray(out2["last_hidden_state"])
     )
+
+
+def test_pad_to_multiple_matches_unpadded():
+    import dataclasses
+
+    cfg8 = dataclasses.replace(TINY, pad_to_multiple=8)
+    x = np.random.RandomState(0).randn(2, 800).astype(np.float32)
+    lens = jnp.asarray([800, 600])
+    base = Wav2Vec2Model(TINY)
+    padded = Wav2Vec2Model(cfg8)
+    params = base.init(jax.random.PRNGKey(0), jnp.asarray(x), lens)
+    out_a = base.apply(params, jnp.asarray(x), lens)
+    out_b = padded.apply(params, jnp.asarray(x), lens)
+    T = out_a["last_hidden_state"].shape[1]  # 79
+    assert out_b["last_hidden_state"].shape[1] == 80
+    np.testing.assert_array_equal(np.asarray(out_a["lengths"]), np.asarray(out_b["lengths"]))
+    np.testing.assert_allclose(
+        np.asarray(out_a["last_hidden_state"])[:, : int(out_a["lengths"][1])],
+        np.asarray(out_b["last_hidden_state"])[:, : int(out_a["lengths"][1])],
+        atol=2e-5, rtol=1e-4,
+    )
