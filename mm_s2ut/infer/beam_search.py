@@ -125,19 +125,6 @@ def beam_search(
     fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
     fin_flags = jnp.zeros((B, K), bool)
 
-    def cond(carry):
-        step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, state = carry
-        not_done = step < max_len
-        # Best achievable normalized score from any alive beam:
-        best_alive = alive_logp[:, 0] / _length_norm(
-            jnp.asarray(max_len), len_penalty
-        )
-        worst_fin = jnp.where(fin_flags, fin_scores, NEG_INF).min(axis=1)
-        improvable = jnp.any(
-            jnp.logical_or(~fin_flags.all(axis=1), best_alive > worst_fin)
-        )
-        return jnp.logical_and(not_done, improvable)
-
     def body(carry):
         step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, state = carry
         prev_tok = jax.lax.dynamic_slice_in_dim(
@@ -191,10 +178,47 @@ def beam_search(
             state,
         )
 
-    carry = (jnp.zeros((), jnp.int32), alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, init_state)
-    step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, _ = jax.lax.while_loop(
-        cond, body, carry
+    # Segmented execution: run with a small KV cache first and grow it
+    # geometrically (64 → 128 → … → max_len+1). The per-step reorder and
+    # attention reads scale with the *current* cache size, so early steps
+    # (and early-exiting decodes) pay a fraction of the full-cache cost.
+    def cond_until(seg_end):
+        def cond(carry):
+            step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, state = carry
+            not_done = step < seg_end
+            best_alive = alive_logp[:, 0] / _length_norm(
+                jnp.asarray(max_len), len_penalty
+            )
+            worst_fin = jnp.where(fin_flags, fin_scores, NEG_INF).min(axis=1)
+            improvable = jnp.any(
+                jnp.logical_or(~fin_flags.all(axis=1), best_alive > worst_fin)
+            )
+            return jnp.logical_and(not_done, improvable)
+        return cond
+
+    kv_full = init_state["self_kv"]
+    T_full = kv_full.shape[3]
+    caps = []
+    c = 64
+    while c < T_full:
+        caps.append(c)
+        c *= 2
+    caps.append(T_full)
+
+    state0 = {**init_state, "self_kv": kv_full[:, :, :, : caps[0]]}
+    carry = (
+        jnp.zeros((), jnp.int32), alive_seq, alive_logp,
+        fin_seq, fin_scores, fin_flags, state0,
     )
+    for i, cap in enumerate(caps):
+        if i > 0:
+            st = carry[-1]
+            kv = st["self_kv"]
+            kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, cap - kv.shape[3]), (0, 0), (0, 0)))
+            carry = (*carry[:-1], {**st, "self_kv": kv})
+        seg_end = min(cap, max_len)
+        carry = jax.lax.while_loop(cond_until(seg_end), body, carry)
+    step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, _ = carry
 
     # Fall back to alive beams where nothing finished.
     none_fin = ~fin_flags.any(axis=1)
