@@ -91,9 +91,19 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
+        grad_norm = optax.global_norm(grads)
+        # Skip non-finite updates (the bf16 analog of fairseq's fp16
+        # overflow-batch skipping): a bad batch advances the step counter
+        # but leaves params/optimizer state untouched.
+        ok = jnp.isfinite(grad_norm)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        params, opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), (params, opt_state),
+            (state.params, state.opt_state),
+        )
+        metrics["grad_norm"] = grad_norm
+        metrics["skipped"] = (~ok).astype(jnp.float32)
         return (
             state.replace(step=state.step + 1, params=params, opt_state=opt_state),
             metrics,

@@ -240,3 +240,29 @@ def test_remat_encoder_grad_matches():
     np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
     chex = pytest.importorskip("chex")
     chex.assert_trees_all_close(ga, gb, rtol=1e-5, atol=1e-6)
+
+
+def test_nonfinite_update_skipped():
+    """A batch that produces NaN/Inf gradients must not corrupt params
+    (fairseq overflow-skip analog)."""
+    cfg = _tiny_cfg()
+    model = MMS2UTModel(cfg.model)
+    batch = _batch()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+    trainer = Trainer(cfg, model, params)
+    before = jax.device_get(trainer.state.params)
+    bad = dict(batch)
+    bad["src_features"] = batch["src_features"] * np.inf
+    m = jax.device_get(trainer.train_batch(bad))
+    assert float(m["skipped"]) == 1.0
+    after = jax.device_get(trainer.state.params)
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(before, after)  # untouched
+    assert int(trainer.state.step) == 1  # step still advances
+    # A good batch afterwards updates normally.
+    m2 = jax.device_get(trainer.train_batch(batch))
+    assert float(m2["skipped"]) == 0.0
