@@ -112,8 +112,66 @@ class ResBlock(nn.Module):
 
 
 class HiFiGANGenerator(nn.Module):
+    """``grouped_mrf`` packs the parallel MRF resblocks into grouped convs
+    at apply time (weights zero-padded to the largest kernel and
+    concatenated per group): at the late stages' small channel counts
+    (16–64) a single-block conv fills only a fraction of the 128 MXU/VPU
+    lanes; running the 3 blocks as one feature_group_count=3 conv triples
+    lane utilization. Parameter structure is unchanged (same checkpoints),
+    and the math is identical because zero taps contribute nothing."""
+
     cfg: HiFiGANConfig
     dtype: Any = jnp.float32
+    # Off by default: measured SLOWER on v5e than three separate convs
+    # (XLA's feature_group_count lowering + the zero-padded kernels cost
+    # more than the lane-utilization win buys). Kept as a documented,
+    # parity-tested variant.
+    grouped_mrf: bool = False
+
+    def _grouped_mrf_stage(self, x, block_names, ch):
+        """x: (B, T, ch); block_names: param names of this stage's
+        ResBlocks (same dilation schedule, different kernel sizes).
+        Returns the mean of the (packed) blocks."""
+        c = self.cfg
+        n = len(block_names)
+        kmax = max(c.resblock_kernel_sizes)
+        n_steps = len(c.resblock_dilation_sizes[0])
+        h = jnp.tile(x, (1, 1, n))  # (B, T, n·ch), group-major
+        params = self.variables["params"]
+
+        def packed(which: str, j: int):
+            kers, biases = [], []
+            for g, name in enumerate(block_names):
+                k = c.resblock_kernel_sizes[g]
+                w = params[name][f"{which}_{j}"]["kernel"].astype(self.dtype)
+                b = params[name][f"{which}_{j}"]["bias"].astype(self.dtype)
+                pad = (kmax - k) // 2
+                w = jnp.pad(w, ((pad, kmax - k - pad), (0, 0), (0, 0)))
+                kers.append(w)
+                biases.append(b)
+            return jnp.concatenate(kers, axis=2), jnp.concatenate(biases)
+
+        for j in range(n_steps):
+            d = c.resblock_dilation_sizes[0][j]
+            w1, b1 = packed("convs1", j)
+            w2, b2 = packed("convs2", j)
+            pad1 = (kmax - 1) * d // 2
+            a = jax.lax.conv_general_dilated(
+                jax.nn.leaky_relu(h, LRELU_SLOPE), w1,
+                window_strides=(1,), padding=[(pad1, pad1)],
+                rhs_dilation=(d,), feature_group_count=n,
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + b1
+            pad2 = (kmax - 1) // 2
+            a = jax.lax.conv_general_dilated(
+                jax.nn.leaky_relu(a, LRELU_SLOPE), w2,
+                window_strides=(1,), padding=[(pad2, pad2)],
+                feature_group_count=n,
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + b2
+            h = h + a
+        B, T = h.shape[:2]
+        return h.reshape(B, T, n, ch).mean(axis=2)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,6 +182,10 @@ class HiFiGANGenerator(nn.Module):
             dtype=self.dtype, name="conv_pre",
         )(x)
         n_res = len(c.resblock_kernel_sizes)
+        same_dil = all(
+            tuple(d) == tuple(c.resblock_dilation_sizes[0])
+            for d in c.resblock_dilation_sizes
+        )
         for i, (rate, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             ch = c.upsample_initial_channel // (2 ** (i + 1))
@@ -136,14 +198,24 @@ class HiFiGANGenerator(nn.Module):
             trim = (k - rate) // 2
             if trim > 0:
                 x = x[:, trim:-trim]
-            acc = None
-            for j, (rk, rd) in enumerate(
-                zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
-            ):
-                h = ResBlock(ch, rk, tuple(rd), dtype=self.dtype,
-                             name=f"resblocks_{i * n_res + j}")(x)
-                acc = h if acc is None else acc + h
-            x = acc / n_res
+            blocks = [
+                ResBlock(ch, rk, tuple(rd), dtype=self.dtype,
+                         name=f"resblocks_{i * n_res + j}")
+                for j, (rk, rd) in enumerate(
+                    zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+                )
+            ]
+            if self.grouped_mrf and same_dil and n_res > 1 and not self.is_initializing():
+                names = [f"resblocks_{i * n_res + j}" for j in range(n_res)]
+                x = self._grouped_mrf_stage(x, names, ch)
+            else:
+                # Init always walks the per-block graph so params are
+                # created with the standard structure/checkpoint layout.
+                acc = None
+                for blk in blocks:
+                    h = blk(x)
+                    acc = h if acc is None else acc + h
+                x = acc / n_res
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=self.dtype, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

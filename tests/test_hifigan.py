@@ -138,3 +138,15 @@ def test_fairseq_converter_parity(tmp_path):
     got = np.asarray(gen.apply({"params": variables["params"]["generator"]}, jnp.asarray(x)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_grouped_mrf_matches_ungrouped():
+    """Packed grouped-conv MRF == per-block MRF (zero taps contribute 0)."""
+    gen_a = HiFiGANGenerator(SMALL, grouped_mrf=False)
+    gen_b = HiFiGANGenerator(SMALL, grouped_mrf=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 10, SMALL.model_in_dim)
+                    .astype(np.float32))
+    params = gen_a.init(jax.random.PRNGKey(0), x)
+    ya = np.asarray(gen_a.apply(params, x))
+    yb = np.asarray(gen_b.apply(params, x))
+    np.testing.assert_allclose(ya, yb, atol=2e-5, rtol=1e-4)
