@@ -58,9 +58,8 @@ def score_from_files(
         from mm_s2ut.data.manifest import read_manifest
 
         rows = read_manifest(manifest_file)
-        ref_ids = [int(r.id) + 1 if int(r.id) < len(refs) else int(r.id) for r in rows]
-        # Reference convention: stems are 1-based line numbers into the
-        # ref file (bleu_asr.py:51).
+        # Reference convention: audio stems are 1-based line numbers into
+        # the ref file (bleu_asr.py:51 — ref_list[ref_id_list[i] - 1]).
         stems = [int(Path(r.src_audio).stem) for r in rows]
         refs = align_refs_by_id(refs, stems)
     if len(hyps) != len(refs):

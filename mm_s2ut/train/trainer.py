@@ -151,6 +151,10 @@ class Trainer:
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.tx = build_optimizer(cfg.train)
+        if cfg.train.rdrop_alpha > 0 and criterion_name == "speech_to_unit":
+            # R-Drop needs the v2 criterion (two passes + symmetric KL);
+            # the base criterion would silently ignore the second pass.
+            criterion_name = "speech_to_unit_v2"
         criterion = registry.get_criterion(criterion_name)
         ckw = {
             "label_smoothing": cfg.train.label_smoothing,

@@ -266,3 +266,21 @@ def test_nonfinite_update_skipped():
     # A good batch afterwards updates normally.
     m2 = jax.device_get(trainer.train_batch(batch))
     assert float(m2["skipped"]) == 0.0
+
+
+def test_rdrop_criterion_autoselected():
+    """rdrop_alpha > 0 must engage the v2 criterion (symmetric KL), not be
+    silently ignored by the base criterion."""
+    cfg = _tiny_cfg()
+    cfg.train.rdrop_alpha = 0.5
+    model = MMS2UTModel(cfg.model)
+    batch = _batch(B=2)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+    trainer = Trainer(cfg, model, params)
+    m = jax.device_get(trainer.train_batch(batch))
+    assert "kl_loss" in m  # v2 criterion actually ran
+    assert np.isfinite(float(m["kl_loss"]))
