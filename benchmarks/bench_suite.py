@@ -152,7 +152,65 @@ def bench_vit_features():
     }))
 
 
-BENCHES = {"1": bench_fbank_kmeans, "2": bench_speech_only_greedy, "3": bench_vit_features}
+
+
+def bench_train_step():
+    """Flagship train step at the reference operating point (~max-tokens
+    8000: batch 8 x ~10 s sources), bf16 forward, fp32 Adam."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from mm_s2ut import registry
+    from mm_s2ut.config import TrainConfig
+    from mm_s2ut.train.optimizer import build_optimizer
+    from mm_s2ut.train.trainer import TrainState, make_train_step
+
+    cfg = _flagship_cfg()
+    from mm_s2ut.models.mm_s2ut import MMS2UTModel
+
+    model = MMS2UTModel(cfg)
+    B, T, Tt = 8, 998, 256
+    rng = np.random.RandomState(0)
+    batch = {
+        "src_features": jnp.asarray(rng.randn(B, T, 80).astype(np.float32)),
+        "src_lengths": jnp.full((B,), T, jnp.int32),
+        "prev_output_tokens": jnp.asarray(rng.randint(4, 1000, (B, Tt)), jnp.int32),
+        "target": jnp.asarray(rng.randint(4, 1000, (B, Tt)), jnp.int32),
+        "imgs_list": (jnp.asarray(rng.randn(B, 577, 768).astype(np.float32)),),
+        "img_masks_list": (jnp.zeros((B, 577), bool),),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["src_features"], batch["src_lengths"],
+        batch["prev_output_tokens"], batch["imgs_list"], batch["img_masks_list"],
+    )
+    tx = build_optimizer(TrainConfig(update_freq=1))
+    state = TrainState.create(params, tx)
+    criterion = registry.get_criterion("speech_to_unit")
+    step = make_train_step(model, criterion, tx, {"label_smoothing": 0.2})
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_n(state, n):
+        def body(c, _):
+            st, i = c
+            st, m = step(st, batch, jax.random.PRNGKey(0))
+            return (st, i + m["loss"]), None
+        (st, acc), _ = jax.lax.scan(body, (state, jnp.zeros(())), None, length=n)
+        return acc
+
+    run = lambda n: run_n(state, n)
+    per = _two_point(run, 1, 5)
+    frames = B * T
+    print(json.dumps({
+        "metric": "train_step_seconds",
+        "value": round(per, 4), "unit": "s/step",
+        "vs_baseline": None,
+        "extra": {"batch": B, "src_frames": T, "tgt_tokens": B * Tt,
+                  "source_frames_per_sec": round(frames / per, 0)},
+    }))
+
+
+BENCHES = {"1": bench_fbank_kmeans, "2": bench_speech_only_greedy, "3": bench_vit_features, "train": bench_train_step}
 
 
 if __name__ == "__main__":
