@@ -79,4 +79,60 @@ def test_registry():
     import mm_s2ut  # registers everything
     from mm_s2ut import registry
 
-    assert "multimodal_speech_to_speech" in registry.available("task") or True
+    assert "multimodal_speech_to_speech" in registry.available("task")
+    assert "multimodal_speech_to_text" in registry.available("task")
+    assert "mm_s2ut_transformer" in registry.available("model")
+    assert "mm_xm_transformer" in registry.available("model")
+    assert "speech_to_unit" in registry.available("criterion")
+    assert "speech_to_unit_v2" in registry.available("criterion")
+    assert "mm_s2ut_transformer" in registry.available("arch")
+    import pytest as _pytest
+
+    with _pytest.raises(registry.RegistryError):
+        registry.get_task("nope")
+
+
+def test_apply_overrides_types():
+    from mm_s2ut.cli.train import apply_overrides
+    from mm_s2ut.config import Config
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        "train.max_update=123",
+        "train.lr=0.01",
+        "model.encoder_normalize_before=false",
+        "data.data_root=/x/y",
+        "model.conv_kernel_sizes=3,3,5",
+    ])
+    assert cfg.train.max_update == 123 and isinstance(cfg.train.max_update, int)
+    assert cfg.train.lr == 0.01
+    assert cfg.model.encoder_normalize_before is False
+    assert cfg.data.data_root == "/x/y"
+    assert cfg.model.conv_kernel_sizes == ["3", "3", "5"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_overrides(cfg, ["no_equals_sign"])
+
+
+def test_load_multitask_yaml(tmp_path):
+    from mm_s2ut.config import load_multitask_yaml
+
+    y = tmp_path / "mt.yaml"
+    y.write_text(
+        """
+target_letter:
+  decoder_type: ctc
+  loss_weight: 8.0
+  dict: dict_letter.txt
+decoder_target_ctc:
+  decoder_type: transformer
+  loss_weight: 2.0
+  decoder_layers: 4
+"""
+    )
+    tasks = load_multitask_yaml(y)
+    by_name = {t.task_name: t for t in tasks}
+    assert by_name["target_letter"].decoder_type == "ctc"
+    assert by_name["target_letter"].loss_weight == 8.0
+    assert by_name["decoder_target_ctc"].decoder_layers == 4
