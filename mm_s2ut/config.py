@@ -225,6 +225,10 @@ class ModelConfig:
     # Per-layer activation rematerialization in the encoder (reference
     # --checkpoint-activations → jax.checkpoint).
     checkpoint_activations: bool = False
+    # Opt-in sequence parallelism: encoder activations annotated
+    # P(data, model, None) between layers (needs a jax.set_mesh context;
+    # no-op otherwise). Beyond-reference capability (SURVEY §2.3).
+    sequence_parallel: bool = False
     # Auxiliary multitask heads (F9).
     multitask: List[MultitaskTaskConfig] = field(default_factory=list)
     # Multimodal fusion block.

@@ -98,6 +98,7 @@ class MMS2UTModel(nn.Module):
             max_positions=cfg.max_source_positions,
             use_flash=cfg.use_flash_attention,
             remat=cfg.checkpoint_activations,
+            sequence_parallel=cfg.sequence_parallel,
             dtype=dtype,
         )
         if cfg.speaker_embed_dim:

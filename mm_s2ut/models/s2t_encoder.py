@@ -44,6 +44,8 @@ class SpeechTransformerEncoder(nn.Module):
     use_flash: bool = False  # Pallas fused self-attention (eval path)
     remat: bool = False  # activation rematerialization (reference
     # --checkpoint-activations; here jax.checkpoint per layer)
+    sequence_parallel: bool = False  # shard activations (B, T, D) as
+    # P(data, model, None) between layers when a mesh context is active
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -92,6 +94,10 @@ class SpeechTransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(x, bias, deterministic, padding_mask)
+            if self.sequence_parallel:
+                from mm_s2ut.parallel import DATA_AXIS, MODEL_AXIS, maybe_shard
+
+                x = maybe_shard(x, DATA_AXIS, MODEL_AXIS, None)
             if return_all_states:
                 states.append(x)
 

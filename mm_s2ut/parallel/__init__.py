@@ -6,4 +6,5 @@ from mm_s2ut.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
     param_shardings,
+    maybe_shard,
 )

@@ -117,6 +117,18 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
+def maybe_shard(x, *spec) -> Any:
+    """Apply a sharding constraint when a mesh context is active
+    (``jax.set_mesh``); a no-op otherwise. Used for opt-in sequence
+    parallelism: annotate activations as P(data, model, None) so XLA
+    shards the sequence dim over the model axis and inserts the
+    collectives (Megatron-SP style)."""
+    try:
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+    except Exception:
+        return x
+
+
 def _key_str(k) -> str:
     if hasattr(k, "key"):
         return str(k.key)

@@ -87,3 +87,29 @@ def test_dp_plus_tp_train_step_runs():
     step = jax.jit(make_train_step(model, criterion, tx, {"label_smoothing": 0.2}))
     state, metrics = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sequence_parallel_matches():
+    """sequence_parallel sharding constraints must not change the math."""
+    from mm_s2ut.models.s2t_encoder import SpeechTransformerEncoder
+
+    feats = np.random.RandomState(0).randn(8, 32, 80).astype(np.float32)
+    lengths = np.full((8,), 32)
+    enc_a = SpeechTransformerEncoder(embed_dim=64, ffn_dim=128, num_layers=2,
+                                     num_heads=2, conv_channels=32)
+    enc_b = SpeechTransformerEncoder(embed_dim=64, ffn_dim=128, num_layers=2,
+                                     num_heads=2, conv_channels=32,
+                                     sequence_parallel=True)
+    params = enc_a.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(lengths))
+    base = np.asarray(enc_a.apply(params, jnp.asarray(feats), jnp.asarray(lengths))["encoder_out"])
+    mesh = make_mesh(data=4, model=2)
+    with jax.set_mesh(mesh):
+        sp = np.asarray(
+            jax.jit(lambda p, f, l: enc_b.apply(p, f, l)["encoder_out"])(
+                params, jnp.asarray(feats), jnp.asarray(lengths)
+            )
+        )
+    np.testing.assert_allclose(sp, base, atol=2e-5, rtol=1e-4)
+    # Without a mesh context the constraint is a no-op (portability).
+    nosp = np.asarray(enc_b.apply(params, jnp.asarray(feats), jnp.asarray(lengths))["encoder_out"])
+    np.testing.assert_allclose(nosp, base, atol=1e-6)
