@@ -124,6 +124,31 @@ class MMXMTransformerModel(nn.Module):
         )
         if cfg.ctc_weight > 0:
             self.ctc_head = CTCHead(cfg.vocab_size, dtype=dtype)
+        # Per-task aux heads over encoder states (reference builds
+        # multitask decoders in build_model, mm_xm_transformer.py:299-318).
+        mt_heads = {}
+        for t in cfg.multitask:
+            vocab = t.vocab_size or cfg.vocab_size
+            if t.decoder_type == "ctc":
+                mt_heads[t.task_name] = CTCHead(vocab, dtype=dtype, name=f"mt_{t.task_name}")
+            else:
+                mt_heads[t.task_name] = UnitDecoder(
+                    vocab_size=vocab,
+                    embed_dim=t.decoder_embed_dim,
+                    ffn_dim=t.decoder_embed_dim * 4,
+                    num_layers=t.decoder_layers,
+                    num_heads=t.decoder_attention_heads,
+                    dropout=cfg.dropout,
+                    attention_dropout=cfg.attention_dropout,
+                    max_positions=cfg.max_target_positions,
+                    dtype=dtype,
+                    name=f"mt_{t.task_name}",
+                )
+                if t.decoder_embed_dim != cfg.decoder_embed_dim:
+                    mt_heads[f"{t.task_name}_proj"] = nn.Dense(
+                        t.decoder_embed_dim, dtype=dtype, name=f"mt_{t.task_name}_proj"
+                    )
+        self.multitask_heads = mt_heads
 
     def encode(
         self,
@@ -178,7 +203,7 @@ class MMXMTransformerModel(nn.Module):
         tgt_speaker: Optional[jnp.ndarray] = None,  # trainer-call parity (unused)
         deterministic: bool = True,
         apply_mask: bool = False,
-        multitask_prev_tokens: Optional[Dict[str, jnp.ndarray]] = None,  # TODO(round2): aux heads here too
+        multitask_prev_tokens: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Dict[str, Any]:
         enc = self.encode(
             src_tokens, src_lengths, imgs_list, img_masks_list,
@@ -197,6 +222,25 @@ class MMXMTransformerModel(nn.Module):
         }
         if self.cfg.ctc_weight > 0:
             out["ctc_logits"] = self.ctc_head(enc["encoder_out"])
+        if self.cfg.multitask:
+            mt_out = {}
+            for t in self.cfg.multitask:
+                head = self.multitask_heads[t.task_name]
+                if t.decoder_type == "ctc":
+                    mt_out[t.task_name] = head(enc["encoder_out"])
+                else:
+                    mem = enc["encoder_out"]
+                    proj = self.multitask_heads.get(f"{t.task_name}_proj")
+                    if proj is not None:
+                        mem = proj(mem)
+                    prev = (multitask_prev_tokens or {}).get(t.task_name)
+                    if prev is None:
+                        continue
+                    mt_out[t.task_name] = head(
+                        prev, mem, enc["encoder_padding_mask"],
+                        deterministic=deterministic,
+                    )
+            out["multitask_logits"] = mt_out
         return out
 
     # Beam-search surface (same contract as MMS2UTModel).

@@ -140,3 +140,20 @@ def test_resampled_concat():
     # T=1 is the identity.
     rc1 = ResampledConcat([big, small], temperature=1.0, seed=0)
     assert len(rc1) == 110
+
+
+def test_xm_multitask_heads():
+    from mm_s2ut.config import MultitaskTaskConfig
+
+    cfg = _cfg()
+    cfg.multitask = [
+        MultitaskTaskConfig(task_name="src_ctc", decoder_type="ctc",
+                            loss_weight=1.0, vocab_size=12),
+    ]
+    model = MMXMTransformerModel(cfg, w2v_cfg=TINY_W2V)
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 1600).astype(np.float32))
+    lens = jnp.asarray([1600, 1200])
+    prev = jnp.zeros((2, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), wav, lens, prev)
+    out = model.apply(params, wav, lens, prev)
+    assert out["multitask_logits"]["src_ctc"].shape[-1] == 12
