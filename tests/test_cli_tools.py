@@ -164,3 +164,39 @@ def test_step_timer():
     stats = StepTimer().measure(f, jnp.ones((64, 64)), iters=3)
     assert stats["compile_s"] > 0 and stats["median_s"] > 0
     assert stats["median_s"] <= stats["compile_s"] * 10
+
+
+def test_hifigan_config_from_json(tmp_path):
+    import json as _json
+
+    from mm_s2ut.models.hifigan import HiFiGANConfig
+
+    p = tmp_path / "config.json"
+    p.write_text(_json.dumps({
+        "upsample_rates": [5, 4, 4, 2, 2],
+        "upsample_kernel_sizes": [11, 8, 8, 4, 4],
+        "upsample_initial_channel": 512,
+        "resblock_kernel_sizes": [3, 7, 11],
+        "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        "num_embeddings": 1000,
+        "embedding_dim": 128,
+        "model_in_dim": 128,
+        "dur_prediction_weight": 1.0,
+        "var_pred_hidden_dim": 128,
+    }))
+    cfg = HiFiGANConfig.from_json(p)
+    assert cfg.hop_length == 320
+    assert cfg.dur_prediction is True
+    assert cfg.resblock_dilation_sizes[0] == (1, 3, 5)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mm_s2ut.utils.profiling import memory_stats, trace
+
+    with trace(tmp_path / "tr"):
+        jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    assert any((tmp_path / "tr").rglob("*"))  # trace artifacts written
+    memory_stats()  # no-throw
