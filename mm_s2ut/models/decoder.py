@@ -209,9 +209,21 @@ class UnitDecoder(nn.Module):
         .at[].set() copies the whole stack each time)."""
         attn = layer.self_attn
         scale = attn.head_dim**-0.5
-        q = attn._split(attn.q_proj(x)) * scale  # (B, 1, H, Dh)
-        k_new = attn._split(attn.k_proj(x))
-        v_new = attn._split(attn.v_proj(x))
+        # Fused QKV: one matmul instead of three (the kernel concat is
+        # loop-invariant, XLA hoists it out of the decode while_loop).
+        ap = attn.variables["params"]
+        w = jnp.concatenate(
+            [ap["q_proj"]["kernel"], ap["k_proj"]["kernel"], ap["v_proj"]["kernel"]],
+            axis=1,
+        ).astype(self.dtype)
+        b = jnp.concatenate(
+            [ap["q_proj"]["bias"], ap["k_proj"]["bias"], ap["v_proj"]["bias"]]
+        ).astype(self.dtype)
+        qkv = x @ w + b
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        q = attn._split(q) * scale  # (B, 1, H, Dh)
+        k_new = attn._split(k_new)
+        v_new = attn._split(v_new)
         logits_hist = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k_old, preferred_element_type=jnp.float32
         )  # (B, H, 1, T)
