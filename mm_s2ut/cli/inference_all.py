@@ -21,6 +21,7 @@ logger = logging.getLogger("mm_s2ut.inference_all")
 def extract_units_from_generate(gen_file: Path, unit_file: Path) -> int:
     """grep "^D-" | sort -nk1 | cut -f3 (reference
     3_generate_waveform.sh:24-26), as code."""
+    gen_file, unit_file = Path(gen_file), Path(unit_file)
     rows = []
     for line in gen_file.read_text().splitlines():
         m = re.match(r"^D-(\d+)\t[^\t]*\t(.*)$", line)
