@@ -7,8 +7,13 @@ invoked by the reference at scripts/textless/2_inference.sh:34-43 with
 * the decode loop is a ``lax.while_loop`` with an early-exit condition
   (all batches finished or no alive beam can beat the worst finished
   hypothesis under the length penalty);
-* per-layer self-attention KV caches are preallocated (B·K, max_len, H, Dh)
-  and gathered along the beam axis after each top-k reorder;
+* the self-attention KV cache is ONE buffer (B, 2, L, H, max_len·K, Dh)
+  with key column j = t·K + slot, and is NEVER physically reordered: each
+  row stays in the beam slot that wrote it and a (B, K, T) ancestry table
+  records which slot holds each step of each live beam's prefix — a fused
+  Pallas kernel (ops/decode_attention.py) attends jointly over all K
+  slots with an ancestry-match mask, reading the cache exactly once per
+  step and never rewriting it;
 * cross-attention K/V is projected once from the encoder output and
   tiled per beam — never recomputed, never reordered (all beams of a
   batch element share it);
@@ -30,45 +35,24 @@ import jax.numpy as jnp
 NEG_INF = -1.0e7
 
 
-def _gather_beams(x: jnp.ndarray, indices: jnp.ndarray, batch: int, k_from: int) -> jnp.ndarray:
-    """Gather beams: x (B*Kf, ...) + indices (B, Kt) → (B*Kt, ...).
+def _reorder_ancestry(
+    state: Any, indices: jnp.ndarray, step: jnp.ndarray
+) -> Any:
+    """Record this step's beam selection in the ancestry table instead of
+    physically reordering the KV cache.
 
-    Implemented as a one-hot matmul over the beam axis rather than a
-    gather: XLA lowers in-loop gathers of large carried buffers poorly on
-    TPU (measured ~1.6 ms/step at (8·5, 201, 8, 64)×12), while a
-    (B, Kt, Kf) × (B, Kf, N) batched matmul streams the cache through the
-    MXU once."""
-    shape = x.shape
-    k_to = indices.shape[1]
-    onehot = jax.nn.one_hot(indices, k_from, dtype=x.dtype)  # (B, Kt, Kf)
-    xr = x.reshape(batch, k_from, -1)
-    out = jnp.einsum(
-        "bjk,bkn->bjn", onehot, xr,
-        preferred_element_type=xr.dtype,
+    ``state["ancestry"]`` (B, K, T) maps each live beam's time step t to
+    the *physical slot* whose cache row holds that step's K/V. Rows never
+    move (the decoder's joint-beam masked attention reads through this
+    table); the per-step cost drops from a full cache read+write
+    (0.82 ms/step measured at B=8 K=5 T=200, 12 layers) to a (B, K, T)
+    int32 gather — ~4 KB."""
+    anc = state["ancestry"]
+    new_anc = jnp.take_along_axis(anc, indices[..., None], axis=1)
+    new_anc = jax.lax.dynamic_update_slice_in_dim(
+        new_anc, indices[..., None].astype(anc.dtype), step, axis=2
     )
-    return out.reshape(batch * k_to, *shape[1:])
-
-
-def _reorder_cache(state: Any, indices: jnp.ndarray, batch: int, k: int) -> Any:
-    """Reorder the stacked self-attention cache along the beam axis with a
-    single one-hot batched matmul (cross caches/biases are beam-invariant
-    and untouched). One big einsum streams the whole cache once; per-layer
-    gathers fragment into dozens of poorly-tiled in-loop ops."""
-    kv = state["self_kv"]  # (B·K, 2, L_layers, T, H, Dh) — beams leading
-    flat = (jnp.arange(batch)[:, None] * k + indices).reshape(-1)
-    # In-loop lax.gather on a big carried buffer lowers poorly on TPU
-    # (119 GB/s); a Pallas scalar-prefetch copy kernel or per-row
-    # dynamic slices both roughly double that (measured at
-    # (40, 2·6·201·8·64) bf16).
-    from mm_s2ut.ops import beam_reorder
-
-    if beam_reorder.supported(kv):
-        return {**state, "self_kv": beam_reorder.reorder_rows(kv, flat)}
-    rows = [
-        jax.lax.dynamic_index_in_dim(kv, flat[i], axis=0, keepdims=False)
-        for i in range(kv.shape[0])
-    ]
-    return {**state, "self_kv": jnp.stack(rows, axis=0)}
+    return {**state, "ancestry": new_anc}
 
 
 def _length_norm(length: jnp.ndarray, alpha: float) -> jnp.ndarray:
@@ -166,7 +150,7 @@ def beam_search(
         new_alive_logp, alive_top = jax.lax.top_k(alive_cand_scores, K)
         new_alive_seq = jnp.take_along_axis(seq2k, alive_top[..., None], axis=1)
         src_beam = jnp.take_along_axis(top_beam, alive_top, axis=1)  # (B, K)
-        state = _reorder_cache(state, src_beam, B, K)
+        state = _reorder_ancestry(state, src_beam, step)
 
         return (
             step + 1,
@@ -196,8 +180,8 @@ def beam_search(
             return jnp.logical_and(not_done, improvable)
         return cond
 
-    kv_full = init_state["self_kv"]
-    T_full = kv_full.shape[3]
+    kv_full = init_state["self_kv"]  # (B, 2, L, H, T·K, Dh)
+    T_full = kv_full.shape[4] // K
     caps = []
     c = 64
     while c < T_full:
@@ -205,7 +189,11 @@ def beam_search(
         c *= 2
     caps.append(T_full)
 
-    state0 = {**init_state, "self_kv": kv_full[:, :, :, : caps[0]]}
+    state0 = {
+        **init_state,
+        "self_kv": kv_full[:, :, :, :, : caps[0] * K],
+        "ancestry": init_state["ancestry"][:, :, : caps[0]],
+    }
     carry = (
         jnp.zeros((), jnp.int32), alive_seq, alive_logp,
         fin_seq, fin_scores, fin_flags, state0,
@@ -214,8 +202,14 @@ def beam_search(
         if i > 0:
             st = carry[-1]
             kv = st["self_kv"]
-            kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, cap - kv.shape[3]), (0, 0), (0, 0)))
-            carry = (*carry[:-1], {**st, "self_kv": kv})
+            kv = jnp.pad(
+                kv,
+                ((0, 0), (0, 0), (0, 0), (0, 0),
+                 (0, cap * K - kv.shape[4]), (0, 0)),
+            )
+            anc = st["ancestry"]
+            anc = jnp.pad(anc, ((0, 0), (0, 0), (0, cap - anc.shape[2])))
+            carry = (*carry[:-1], {**st, "self_kv": kv, "ancestry": anc})
         seg_end = min(cap, max_len)
         carry = jax.lax.while_loop(cond_until(seg_end), body, carry)
     step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, _ = carry
@@ -230,17 +224,25 @@ def beam_search(
 
 
 def tile_state_for_beams(state: Any, beam_size: int) -> Any:
-    """Repeat self-attention caches along the batch axis K times
-    (B, ...) → (B·K, ...), beams contiguous per batch element.
+    """Expand the self-attention cache's flattened time axis by the beam
+    count, (B, 2, L, H, T, Dh) → (B, 2, L, H, T·K, Dh) with key column
+    j = t·K + slot, and attach the (B, K, T) beam-ancestry table (all
+    zeros: before any selection the only live beam is slot 0 and the mask
+    ignores unwritten positions). The cache is empty at this point, so
+    the expansion is a fresh zeros allocation, not a copy.
 
     Cross-attention K/V and the cross bias stay at batch size B: the
     decoder's cross-attention broadcasts queries over beams instead
     (MultiHeadAttention beam-broadcast path) so encoder K/V reads don't
     scale with beam width."""
-
+    kv = state["self_kv"]
+    B, T = kv.shape[0], kv.shape[4]
+    shape = list(kv.shape)
+    shape[4] = T * beam_size
     return {
         **state,
-        "self_kv": jnp.repeat(state["self_kv"], beam_size, axis=0),
+        "self_kv": jnp.zeros(shape, kv.dtype),
+        "ancestry": jnp.zeros((B, beam_size, T), jnp.int32),
     }
 
 

@@ -176,20 +176,26 @@ class UnitDecoder(nn.Module):
         max_len: int,
     ) -> DecoderState:
         """Pre-project encoder K/V per layer; allocate ONE stacked
-        self-attention cache (2, num_layers, B, max_len, H, Dh) — a single
-        buffer so the beam-search reorder is one batched matmul instead of
-        2·num_layers small ones (in-loop op fragmentation dominates the
-        decode step otherwise)."""
+        self-attention cache (B, 2, num_layers, H, max_len·S, Dh) whose
+        time axis is pre-flattened over the beam-slot axis S (S=1 until
+        ``tile_state_for_beams`` expands it; key column j = t·S + s).
+
+        Layout rationale: (b, h) lead and the flattened (t·S+s) axis sits
+        directly above the contraction dim, so the beam search's
+        joint-slot attention (q (B,H,K,Dh) @ k (B,H,T·S,Dh)ᵀ and
+        p (B,H,K,T·S) @ v (B,H,T·S,Dh)) lowers to native batched MXU GEMMs
+        with NO cache relayout, and the decode-attention Pallas kernel can
+        pull each layer's contiguous (2, T·S, Dh) slab straight from this
+        buffer via its BlockSpec index map — an XLA-side per-layer slice
+        would copy the whole cache every step (measured: as expensive as
+        physically reordering it)."""
         B = encoder_out.shape[0]
         H = self.num_heads
         Dh = self.embed_dim // H
-        # Beam/batch axis LEADING: the beam-search reorder is then a plain
-        # leading-axis row gather (the efficient gather form on TPU; any
-        # other layout forced relayout copies around the reorder).
         state: DecoderState = {
             "step": jnp.zeros((), jnp.int32),
             "self_kv": jnp.zeros(
-                (B, 2, self.num_layers, max_len, H, Dh), self.dtype
+                (B, 2, self.num_layers, H, max_len, Dh), self.dtype
             ),
             "cross": [layer.cross_attn.precompute_kv(encoder_out) for layer in self.layers],
         }
@@ -200,13 +206,25 @@ class UnitDecoder(nn.Module):
         return state
 
     def _self_attn_step(
-        self, layer, x: jnp.ndarray, k_old: jnp.ndarray, v_old: jnp.ndarray,
-        step_idx: jnp.ndarray,
+        self, layer, x: jnp.ndarray, kv: jnp.ndarray, layer_idx: int,
+        step_idx: jnp.ndarray, flat_rep: Optional[jnp.ndarray] = None,
     ):
         """Single-token self-attention against the read-only history buffer
         plus the freshly projected token — no per-layer cache write (the
         stacked buffer gets ONE batched row update per step; per-layer
-        .at[].set() copies the whole stack each time)."""
+        .at[].set() copies the whole stack each time).
+
+        ``kv`` is the WHOLE stacked cache (B, 2, L, H, T·S, Dh). With
+        ``flat_rep`` (B, K, T·S) set (beam search; entry j where key
+        column j is on beam k's ancestry path and in the past, else -1),
+        the cache is *ancestry-indexed*: rows stay in the physical slot
+        that wrote them and each beam attends jointly over ALL S=K slots.
+        This replaces the per-step physical cache reorder (read+write of
+        the whole cache, measured 0.82 ms/step of a 1.21 ms/step decode at
+        B=8 K=5) with a fused Pallas kernel (ops/decode_attention.py) that
+        streams the cache through the MXU exactly once and never
+        materializes the joint score tensor to HBM.
+        """
         attn = layer.self_attn
         scale = attn.head_dim**-0.5
         # Fused QKV: one matmul instead of three (the kernel concat is
@@ -221,24 +239,48 @@ class UnitDecoder(nn.Module):
         ).astype(self.dtype)
         qkv = x @ w + b
         q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
-        q = attn._split(q) * scale  # (B, 1, H, Dh)
+        q = attn._split(q) * scale  # (N, 1, H, Dh)
         k_new = attn._split(k_new)
         v_new = attn._split(v_new)
-        logits_hist = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k_old, preferred_element_type=jnp.float32
-        )  # (B, H, 1, T)
-        T = k_old.shape[1]
-        valid = jnp.arange(T)[None, None, None, :] < step_idx
-        logits_hist = jnp.where(valid, logits_hist, -1e9)
-        logit_self = jnp.einsum(
-            "bqhd,bqhd->bhq", q, k_new, preferred_element_type=jnp.float32
-        )[..., None]  # (B, H, 1, 1)
-        logits = jnp.concatenate([logits_hist, logit_self], axis=-1)
-        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w[..., :T], v_old)
-        w_self = w[..., -1].transpose(0, 2, 1)[..., None]  # (B, 1, H, 1)
-        out = out + w_self * v_new
-        out = attn.out_proj(out.reshape(x.shape[0], 1, attn.embed_dim))
+        N = x.shape[0]
+        B, H, Dh = kv.shape[0], kv.shape[3], kv.shape[5]
+        K = N // B
+
+        def to_bhkd(t):  # (N, 1, H, Dh) → (B, H, K, Dh)
+            return t.reshape(B, K, H, Dh).transpose(0, 2, 1, 3)
+
+        if flat_rep is not None:
+            from mm_s2ut.ops import decode_attention as da
+
+            fn = da.ancestry_decode_attention if da.supported(kv) else da.reference
+            out = fn(
+                to_bhkd(q), to_bhkd(k_new), to_bhkd(v_new),
+                kv, flat_rep, layer_idx,
+            )  # (B, H, K, Dh)
+            out = out.transpose(0, 2, 1, 3).reshape(N, 1, H, Dh)
+        else:
+            # Plain incremental decoding (untiled state, S == 1): slot k's
+            # history is its own rows; single-query matvec form.
+            T = kv.shape[4]
+            logit_self = jnp.einsum(
+                "bqhd,bqhd->bhq", q, k_new, preferred_element_type=jnp.float32
+            )[..., None]  # (N, H, 1, 1)
+            k_sq = kv[:, 0, layer_idx]  # (B, H, T, Dh)
+            v_sq = kv[:, 1, layer_idx]
+            q_t = q.transpose(0, 2, 1, 3)  # (N, H, 1, Dh)
+            logits_hist = jnp.einsum(
+                "bhqd,bhtd->bhqt", q_t, k_sq, preferred_element_type=jnp.float32
+            )  # (N, H, 1, T)
+            valid = jnp.arange(T)[None, None, None, :] < step_idx
+            logits_hist = jnp.where(valid, logits_hist, -1e9)
+            logits = jnp.concatenate([logits_hist, logit_self], axis=-1)
+            wgt = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhqt,bhtd->bqhd", wgt[..., :T], v_sq
+            )  # (N, 1, H, Dh)
+            w_self = wgt[..., -1].transpose(0, 2, 1)[..., None]  # (N, 1, H, 1)
+            out = out + w_self * v_new
+        out = attn.out_proj(out.reshape(N, 1, attn.embed_dim))
         return out, k_new, v_new
 
     def step(
@@ -251,13 +293,28 @@ class UnitDecoder(nn.Module):
         x = self.pos(x, offset=state["step"])
         step_idx = state["step"]
         kv = state["self_kv"]
+        ancestry = state.get("ancestry")
+        if ancestry is not None:
+            # Shared across layers/heads: key column j = t·S + s is on beam
+            # k's path iff ancestry[b, k, t] == s and t is in the past.
+            # Encode as flat_rep[b, k, j] = j when valid, -1 otherwise —
+            # the decode-attention kernel compares it against the column id.
+            B_, K_, T_ = ancestry.shape
+            S_ = kv.shape[4] // T_
+            t_idx = jnp.arange(T_, dtype=jnp.int32)[None, None, :]
+            flat_idx = jnp.where(
+                t_idx < step_idx, t_idx * S_ + ancestry.astype(jnp.int32), -1
+            )  # (B, K, T)
+            flat_rep = jnp.repeat(flat_idx, S_, axis=2)  # (B, K, T·S)
+        else:
+            flat_rep = None
         new_ks, new_vs = [], []
         for i, layer in enumerate(self.layers):
             # Self-attention (pre/post-norm per layer config).
             residual = x
             h = layer.self_attn_layer_norm(x) if self.normalize_before else x
             h, k_new, v_new = self._self_attn_step(
-                layer, h, kv[:, 0, i], kv[:, 1, i], step_idx
+                layer, h, kv, i, step_idx, flat_rep
             )
             new_ks.append(k_new)
             new_vs.append(v_new)
@@ -283,17 +340,24 @@ class UnitDecoder(nn.Module):
         if self.normalize_before:
             x = self.final_norm(x)
         logits = self._output(x)[:, -1]
-        # ONE batched write: (B, 2, nL, 1, H, Dh) rows at time step_idx.
-        new_rows = jnp.stack(
-            [jnp.stack(new_ks, axis=1), jnp.stack(new_vs, axis=1)], axis=1
-        )  # new_k[i]: (B, 1, H, Dh) → stack layers axis=1 → (B, nL, 1, H, Dh)
-        kv = jax.lax.dynamic_update_slice_in_dim(kv, new_rows, step_idx, axis=3)
-        new_state = {
-            "step": step_idx + 1,
-            "self_kv": kv,
-            "cross": state["cross"],
-            "cross_bias": state["cross_bias"],
-        }
+        # ONE batched write: (B, 2, nL, H, S, Dh) rows at flattened position
+        # step·S — beam-slot k writes its token's K/V into column step·S+k.
+        B_, H_, Dh_ = kv.shape[0], kv.shape[3], kv.shape[5]
+        N_ = prev_token.shape[0]
+        S_ = N_ // B_
+
+        def to_rows(per_layer):  # list of (N, 1, H, Dh) → (B, nL, H, S, Dh)
+            r = jnp.stack(per_layer, axis=1)  # (N, nL, 1, H, Dh)
+            r = r.reshape(B_, S_, len(per_layer), H_, Dh_)
+            return r.transpose(0, 2, 3, 1, 4)  # (B, nL, H, S, Dh)
+
+        new_rows = jnp.stack([to_rows(new_ks), to_rows(new_vs)], axis=1)
+        kv = jax.lax.dynamic_update_slice_in_dim(
+            kv, new_rows, step_idx * S_, axis=4
+        )
+        # Carry everything else (incl. the beam-search ancestry table, which
+        # the search itself rewrites after candidate selection) unchanged.
+        new_state = {**state, "step": step_idx + 1, "self_kv": kv}
         return logits, new_state
 
 

@@ -1,0 +1,154 @@
+"""Fused beam-decode self-attention over an ancestry-indexed KV cache.
+
+TPU-native replacement for the per-step KV-cache reorder that fairseq's
+SequenceGenerator does on GPU (SURVEY.md F6; the reference free-rides on
+``reorder_incremental_state``). Instead of physically permuting the cache
+after every top-k selection, beam-search keeps each written row in the
+beam *slot* that produced it and tracks a (B, K, T) ancestry table; this
+kernel computes, for every live beam k:
+
+    out_k = softmax_{(t,s) on k's path, + self}(q_k · K[t,s]) · V[t,s]
+
+reading the cache exactly once per step, with the path membership test
+((t, s) valid iff ancestry[k, t] == s and t < step) evaluated in-kernel
+against a prefetched flattened index row — no (B, H, K, T, S) score
+tensor ever touches HBM (the pure-XLA formulation materializes ~150 MB of
+fp32 intermediates per step at B=8 K=5 T=200 and is as slow as the
+physical reorder it replaces).
+
+Layout contract (set by ``UnitDecoder.init_state``): the cache is ONE
+buffer (B, 2, L, H, T·S, Dh) with key column j = t·S + s sitting directly
+above the contraction dim, so both matmuls are native MXU GEMMs in the
+cache's storage order, and each layer's (2, T·S, Dh) slab is contiguous —
+selected by this kernel's BlockSpec index map with no XLA-side slice.
+
+The grid is (B, H); each program holds one head's full (T·S, Dh) K and V
+block in VMEM (≤ ~256 KB at T=201, S=10, Dh=64) — a single-pass softmax,
+not an online/flash loop, which only pays at far longer contexts.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _kernel(flat_ref, q_ref, kn_ref, vn_ref, kv_ref, o_ref):
+    # Blocks (None grid dims squeezed by BlockSpec):
+    #   flat (K, T·S) int32 — per key column j=(t·S+s): j if (t, s) is on
+    #   beam k's ancestry path and t < step, else -1 (precomputed on the
+    #   XLA side once per step, shared across layers/heads)
+    #   q / kn / vn (K, Dh); kv (2, T·S, Dh) — this layer's K and V slabs,
+    #   selected straight out of the stacked decode cache by the BlockSpec
+    #   index map (no XLA-side slice, which would copy the cache);
+    #   o (K, Dh)
+    q = q_ref[...]  # (K, Dh)
+    K, Dh = q.shape
+    k2 = kv_ref[0]  # (T·S, Dh)
+    v2 = kv_ref[1]
+    TS = k2.shape[0]
+    scores = jax.lax.dot_general(
+        q, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (K, T·S)
+    flat_rep = flat_ref[...]  # (K, T·S)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, TS), 1)
+    scores = jnp.where(flat_rep == col, scores, NEG_INF)
+    kn = kn_ref[...]
+    vn = vn_ref[...]
+    self_logit = jnp.sum(
+        q.astype(jnp.float32) * kn.astype(jnp.float32), axis=1, keepdims=True
+    )  # (K, 1)
+    m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), self_logit)
+    p = jnp.exp(scores - m)
+    p_self = jnp.exp(self_logit - m)
+    denom = jnp.sum(p, axis=1, keepdims=True) + p_self
+    w = (p / denom).astype(v2.dtype)
+    out = jnp.dot(w, v2, preferred_element_type=jnp.float32)
+    out = out + (p_self / denom) * vn.astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("layer", "interpret"))
+def ancestry_decode_attention(
+    q: jnp.ndarray,        # (B, H, K, Dh), already scaled by Dh^-0.5
+    k_new: jnp.ndarray,    # (B, H, K, Dh) — this step's projected key
+    v_new: jnp.ndarray,    # (B, H, K, Dh)
+    kv: jnp.ndarray,       # (B, 2, L, H, T·S, Dh) stacked decode cache
+    flat_rep: jnp.ndarray,  # (B, K, T·S) int32: key column id if on-path,
+                            # -1 otherwise (see UnitDecoder.step)
+    layer: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, H, K, Dh) in q.dtype.
+
+    ``kv`` is the WHOLE stacked cache; the layer's K/V slabs are selected
+    by the BlockSpec index map so no XLA-side slice (= full-cache copy,
+    as expensive as the physical reorder this kernel removes) happens."""
+    B, H, K, Dh = q.shape
+    TS = kv.shape[4]
+    grid = (B, H)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, K, TS), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (None, 2, None, None, TS, Dh),
+                lambda b, h: (b, 0, layer, h, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
+        interpret=interpret,
+    )(flat_rep.astype(jnp.int32), q, k_new, v_new, kv)
+    return out
+
+
+def supported(kv: jnp.ndarray) -> bool:
+    """Pallas path: real TPU only (tests exercise the kernel in
+    interpreter mode; CPU/GPU fall back to the XLA formulation)."""
+    return jax.devices()[0].platform not in ("cpu", "gpu")
+
+
+def reference(
+    q: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    kv: jnp.ndarray,
+    flat_rep: jnp.ndarray,
+    layer: int,
+) -> jnp.ndarray:
+    """XLA reference of the same contraction (CPU/test fallback)."""
+    B, H, K, Dh = q.shape
+    TS = kv.shape[4]
+    k_cache = kv[:, 0, layer]  # (B, H, T·S, Dh)
+    v_cache = kv[:, 1, layer]
+    scores = jnp.einsum(
+        "bhkd,bhjd->bhkj", q, k_cache, preferred_element_type=jnp.float32
+    )
+    col = jnp.arange(TS, dtype=jnp.int32)
+    scores = jnp.where(
+        (flat_rep[:, None] == col), scores, NEG_INF
+    )
+    self_logit = jnp.sum(
+        q.astype(jnp.float32) * k_new.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (B, H, K, 1)
+    m = jnp.maximum(scores.max(axis=-1, keepdims=True), self_logit)
+    p = jnp.exp(scores - m)
+    p_self = jnp.exp(self_logit - m)
+    denom = p.sum(axis=-1, keepdims=True) + p_self
+    w = (p / denom).astype(v_cache.dtype)
+    out = jnp.einsum(
+        "bhkj,bhjd->bhkd", w, v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    out = out + (p_self / denom) * v_new.astype(jnp.float32)
+    return out.astype(q.dtype)

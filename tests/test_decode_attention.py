@@ -1,0 +1,73 @@
+"""Ancestry-indexed decode-attention kernel vs its XLA reference, and vs a
+brute-force gather formulation (the semantics the physical reorder had)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm_s2ut.ops import decode_attention as da
+
+
+def _make(B=2, H=4, K=3, T=16, L=2, Dh=8, step=9, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, H, K, Dh), dtype) * 0.3
+    k_new = jnp.asarray(rng.randn(B, H, K, Dh), dtype) * 0.3
+    v_new = jnp.asarray(rng.randn(B, H, K, Dh), dtype) * 0.3
+    kv = jnp.asarray(rng.randn(B, 2, L, H, T * K, Dh), dtype) * 0.3
+    ancestry = jnp.asarray(rng.randint(0, K, (B, K, T)), jnp.int32)
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    flat_idx = jnp.where(t_idx < step, t_idx * K + ancestry, -1)
+    flat_rep = jnp.repeat(flat_idx, K, axis=2)  # (B, K, T·K)
+    return q, k_new, v_new, kv, ancestry, flat_rep, step
+
+
+def _brute_force(q, k_new, v_new, kv, ancestry, step, layer):
+    """Gather each beam's true prefix rows, then ordinary attention."""
+    B, H, K, Dh = q.shape
+    T = ancestry.shape[2]
+    out = np.zeros((B, H, K, Dh), np.float32)
+    q, k_new, v_new = map(lambda x: np.asarray(x, np.float64), (q, k_new, v_new))
+    kv = np.asarray(kv, np.float64)
+    for b in range(B):
+        for h in range(H):
+            for k in range(K):
+                keys = [kv[b, 0, layer, h, t * K + int(ancestry[b, k, t])]
+                        for t in range(step)]
+                vals = [kv[b, 1, layer, h, t * K + int(ancestry[b, k, t])]
+                        for t in range(step)]
+                keys.append(k_new[b, h, k])
+                vals.append(v_new[b, h, k])
+                keys, vals = np.stack(keys), np.stack(vals)
+                logits = keys @ q[b, h, k]
+                w = np.exp(logits - logits.max())
+                w /= w.sum()
+                out[b, h, k] = (w[:, None] * vals).sum(0)
+    return out
+
+
+def test_reference_matches_brute_force():
+    q, k_new, v_new, kv, ancestry, flat_rep, step = _make()
+    for layer in range(2):
+        got = np.asarray(da.reference(q, k_new, v_new, kv, flat_rep, layer))
+        want = _brute_force(q, k_new, v_new, kv, ancestry, step, layer)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_kernel_interpret_matches_reference():
+    q, k_new, v_new, kv, ancestry, flat_rep, step = _make(
+        B=2, H=2, K=5, T=24, Dh=16, step=17, seed=1
+    )
+    for layer in range(2):
+        ref = np.asarray(da.reference(q, k_new, v_new, kv, flat_rep, layer))
+        got = np.asarray(
+            da.ancestry_decode_attention(
+                q, k_new, v_new, kv, flat_rep, layer, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_step_zero_attends_only_self():
+    q, k_new, v_new, kv, ancestry, flat_rep, _ = _make(step=0, seed=2)
+    got = np.asarray(da.reference(q, k_new, v_new, kv, flat_rep, 0))
+    np.testing.assert_allclose(got, np.asarray(v_new, np.float32), atol=1e-5)
