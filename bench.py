@@ -23,6 +23,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 
@@ -33,6 +34,15 @@ BASELINE_UTT_PER_SEC = 10.0  # estimated fairseq-generate throughput (see above)
 
 def main():
     import jax
+
+    # Persistent compilation cache: the beam-search program (3 growing-cache
+    # segments × 12 Pallas decode layers) dominates wall time through the
+    # relay on a cold cache; warm runs skip straight to execution.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mm_s2ut_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_cfg
@@ -41,8 +51,10 @@ def main():
     from mm_s2ut.models.mm_s2ut import MMS2UTModel
     from mm_s2ut.ops.fbank import FbankConfig, batched_log_mel_fbank
 
-    B, SECONDS, SR = 8, 10, 16000
-    BEAM, MAX_LEN = 5, 200
+    SECONDS, SR = 10, 16000
+    B = int(os.environ.get("MM_BENCH_BATCH", "8"))
+    BEAM = int(os.environ.get("MM_BENCH_BEAM", "5"))
+    MAX_LEN = 200
     N1, N2 = 2, 10
 
     cfg = _flagship_cfg()

@@ -113,7 +113,23 @@ def get_waveform(
             x = x[:, None]
         sr = use_sample_rate or 16000
     else:
-        x, sr = decode_wav_bytes(_read_bytes(path))
+        data = _read_bytes(path)
+        if data[:4] == b"fLaC":
+            from mm_s2ut.data.flac import decode_flac_bytes
+
+            x, sr = decode_flac_bytes(data)
+        elif data[:4] == b"OggS":
+            # The reference decodes ogg via libsndfile (audio_utils.py:236-325);
+            # no vorbis codec ships in this environment — convert offline
+            # (the reference's own prep converts mp3→wav via ffmpeg too,
+            # 1_preprocess.ipynb cell 1).
+            raise ValueError(
+                f"{fname}: ogg/vorbis decode is not supported in this "
+                "build; convert to wav or flac offline (e.g. ffmpeg -i in.ogg "
+                "-ar 16000 out.wav)"
+            )
+        else:
+            x, sr = decode_wav_bytes(data)
     if mono and x.shape[1] > 1:
         x = x.mean(axis=1, keepdims=True)
     if use_sample_rate is not None and sr != use_sample_rate:

@@ -230,6 +230,11 @@ class MMS2UTModel(nn.Module):
         img_masks_list = list(img_masks_list) or [None] * len(imgs_list)
 
         if mm.only_img:
+            # Reference parity: the ablation replaces the encoder output with
+            # the FIRST image source and stops — the reference's source loop
+            # does `out["encoder_out"] = [img]; ...; break` on the first
+            # iteration (mm_s2s_transformer.py:513-523), so later sources are
+            # never consulted.
             img = imgs_list[0].astype(_dtype(cfg))
             if hasattr(self, "only_img_proj"):
                 img = self.only_img_proj(img)
