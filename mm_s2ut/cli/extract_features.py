@@ -38,7 +38,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--splits", nargs="+", default=["train", "valid", "test2016"])
     ap.add_argument("--model", default="vit_base_patch16_384",
                     help="variant name (vit_{tiny,small,base,large}_patch16_384)")
-    ap.add_argument("--checkpoint", required=True, help="timm pytorch_model.bin")
+    ap.add_argument("--extractor-type", default="vit_timm",
+                    choices=("vit_timm", "vit_openai", "vit_huggingface"),
+                    help="reference visual_extractor_type: timm ViT "
+                    "(forward_features) or HF CLIP vision tower "
+                    "(last hidden state, CLIPProcessor preprocessing)")
+    ap.add_argument("--checkpoint", required=True,
+                    help="timm pytorch_model.bin, or (vit_openai) an HF "
+                    "CLIP checkpoint dir")
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--batch-size", type=int, default=16)
     args = ap.parse_args(argv)
@@ -48,13 +55,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     from PIL import Image
 
     from mm_s2ut.models.vit import (
-        VIT_VARIANTS, VisionTransformer, load_timm_checkpoint, preprocess_images,
+        VIT_VARIANTS, CLIPVisionTransformer, VisionTransformer,
+        load_clip_checkpoint, load_timm_checkpoint, preprocess_images,
     )
 
-    cfg = VIT_VARIANTS[args.model]
-    variables = load_timm_checkpoint(args.checkpoint, cfg)
-    vit = VisionTransformer(cfg)
-    forward = jax.jit(lambda px: vit.apply(variables, px)[0])
+    if args.extractor_type == "vit_openai":
+        cfg, variables = load_clip_checkpoint(args.checkpoint)
+        clip = CLIPVisionTransformer(cfg)
+        forward = jax.jit(lambda px: clip.apply(variables, px)[-1])
+        prep_mode = "vit_openai"
+    else:
+        cfg = VIT_VARIANTS[args.model]
+        variables = load_timm_checkpoint(args.checkpoint, cfg)
+        vit = VisionTransformer(cfg)
+        forward = jax.jit(lambda px: vit.apply(variables, px)[0])
+        prep_mode = (
+            "vit_huggingface" if args.extractor_type == "vit_huggingface"
+            else "timm"
+        )
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -68,7 +86,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         for start in range(0, len(paths), B):
             chunk = paths[start : start + B]
             pixels = preprocess_images(
-                [Image.open(p) for p in chunk], cfg.image_size
+                [Image.open(p) for p in chunk], cfg.image_size, mode=prep_mode
             )
             if len(chunk) < B:  # pad to the compiled batch shape
                 pixels = np.concatenate(

@@ -1,0 +1,313 @@
+"""Closed-loop ASR-BLEU acceptance run on a self-contained synthetic corpus.
+
+The reference's acceptance record is its ASR-BLEU table
+(reference README.md:274-283, produced by scripts/textless/2_inference_all.sh).
+This script reproduces that *measurement chain* end-to-end with every
+stage real and no external assets (no network, no pretrained weights):
+
+  1. synthesize a speech↔unit↔image corpus (units over 48 classes; each
+     unit names a two-letter word, so unit sequences have a text reading);
+  2. train the flagship mm_s2ut_transformer on it (cli.train);
+  3. fix a random-weight CodeHiFiGAN (fairseq-format .pt) as THE
+     deterministic unit→waveform map of this synthetic world;
+  4. train a tiny wav2vec2-CTC ASR (torch, CPU) to invert that vocoder —
+     wav → letters — so ASR-BLEU measures real pipeline quality;
+  5. run cli.inference_all (generate → units → vocode → ASR → BLEU) on
+     valid/test and report BLEU, plus direct unit-BLEU of D- lines vs
+     target units.
+
+A trained S2UT model that memorizes the corpus + a converged ASR ⇒ high
+BLEU; any breakage anywhere in the chain (beam search, unit extraction,
+vocoder conversion, CTC decode, text cleaning, scoring) drags it to ~0.
+
+  python scripts/parity_synthetic.py --root /tmp/parity --steps 600
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+N_UNITS = 48
+WORDS = [chr(97 + u // 7) + chr(97 + u % 7) for u in range(N_UNITS)]
+
+
+def units_to_text(units):
+    return " ".join(WORDS[u] for u in units)
+
+
+def build_corpus(root: Path, rng, n_train=48, n_eval=8):
+    from mm_s2ut.config import (
+        Config, DataConfig, GenerationConfig, MeshConfig, ModelConfig,
+        MultimodalConfig, TrainConfig,
+    )
+    from mm_s2ut.config import save_yaml
+    from mm_s2ut.data.audio_io import write_wav
+    from mm_s2ut.data.manifest import ManifestRow, write_manifest
+
+    root.mkdir(parents=True, exist_ok=True)
+    feat_dir = root / "img_feat"
+    feat_dir.mkdir(exist_ok=True)
+    sr = 16000
+    splits = {"train": n_train, "valid": n_eval, "test": n_eval}
+    all_units = {}
+    idx = 0
+    for split, n in splits.items():
+        rows = []
+        np.save(feat_dir / f"{split}.npy", rng.randn(n, 6, 16).astype(np.float32))
+        for j in range(n):
+            idx += 1
+            length = sr // 3 + (idx % 5) * sr // 10
+            wav = (0.3 * rng.randn(length)).astype(np.float32)
+            write_wav(root / f"{idx}.wav", wav, sr)
+            units = rng.randint(0, N_UNITS, 8 + idx % 6)
+            all_units[(split, j)] = units
+            rows.append(ManifestRow(
+                str(j), f"{idx}.wav", length,
+                " ".join(map(str, units)), len(units),
+            ))
+        write_manifest(root / f"{split}.tsv", rows)
+
+    refs = root / "refs"
+    refs.mkdir(exist_ok=True)
+    for split, n in splits.items():
+        lines = [units_to_text(all_units[(split, j)]) for j in range(n)]
+        (refs / f"{split}.txt").write_text("\n".join(lines) + "\n")
+
+    cfg = Config(
+        model=ModelConfig(
+            encoder_embed_dim=64, encoder_ffn_embed_dim=128, encoder_layers=2,
+            encoder_attention_heads=2, decoder_embed_dim=64,
+            decoder_ffn_embed_dim=128, decoder_layers=2,
+            decoder_attention_heads=2, conv_channels=32, dtype="float32",
+            multimodal=MultimodalConfig(
+                image_feat_path=[str(feat_dir)], image_feat_dim=[16],
+                multimodal_attention_type="selective_attention",
+            ),
+        ),
+        data=DataConfig(
+            data_root=str(root), audio_root=str(root),
+            target_code_size=N_UNITS, max_tokens=1200, num_buckets=1,
+        ),
+        train=TrainConfig(
+            update_freq=1, warmup_updates=50, lr=2e-3, seed=3,
+            max_update=600, save_dir=str(root / "ckpt"),
+            log_interval=50, save_interval_updates=600,
+        ),
+        generation=GenerationConfig(beam=5, max_len_b=24, max_tokens=1200),
+        mesh=MeshConfig(data=1),
+    )
+    save_yaml(cfg, root / "run.yaml")
+    return all_units
+
+
+VOC = dict(
+    num_embeddings=N_UNITS, embedding_dim=16, model_in_dim=16,
+    upsample_initial_channel=32, upsample_rates=[5, 4, 4, 2],
+    upsample_kernel_sizes=[11, 8, 8, 4], resblock_kernel_sizes=[3],
+    resblock_dilation_sizes=[[1, 2]], dur_prediction=True,
+    var_pred_hidden_dim=16, var_pred_kernel_size=3, var_pred_dropout=0.0,
+)  # hop = 5*4*4*2 = 160 samples/frame
+
+
+def build_vocoder(root: Path):
+    """Random-weight fairseq-format CodeHiFiGAN .pt (+ config.json)."""
+    import torch
+
+    torch.manual_seed(7)
+    c = VOC
+    sd = {}
+
+    def conv(name, out_ch, in_ch, k, scale=1.0):
+        sd[f"{name}.weight"] = torch.randn(out_ch, in_ch, k) * scale
+        sd[f"{name}.bias"] = torch.randn(out_ch) * 0.01
+
+    sd["dict.weight"] = torch.randn(c["num_embeddings"], c["embedding_dim"])
+    conv("conv_pre", c["upsample_initial_channel"], c["model_in_dim"], 7, 0.2)
+    ch = c["upsample_initial_channel"]
+    for i, (r, k) in enumerate(zip(c["upsample_rates"], c["upsample_kernel_sizes"])):
+        out = ch // 2
+        sd[f"ups.{i}.weight"] = torch.randn(ch, out, k) * 0.2  # ConvT (in,out,k)
+        sd[f"ups.{i}.bias"] = torch.randn(out) * 0.01
+        for j, d in enumerate(c["resblock_dilation_sizes"][0]):
+            rk = c["resblock_kernel_sizes"][0]
+            conv(f"resblocks.{i}.convs1.{j}", out, out, rk, 0.15)
+            conv(f"resblocks.{i}.convs2.{j}", out, out, rk, 0.15)
+        ch = out
+    conv("conv_post", 1, ch, 7, 0.3)
+    # Duration predictor: near-zero proj → log_dur≈0 → duration 1/unit.
+    h, k = c["var_pred_hidden_dim"], c["var_pred_kernel_size"]
+    conv("dur_predictor.conv1.0", h, c["embedding_dim"], k, 0.1)
+    sd["dur_predictor.ln1.weight"] = torch.ones(h)
+    sd["dur_predictor.ln1.bias"] = torch.zeros(h)
+    conv("dur_predictor.conv2.0", h, h, k, 0.1)
+    sd["dur_predictor.ln2.weight"] = torch.ones(h)
+    sd["dur_predictor.ln2.bias"] = torch.zeros(h)
+    sd["dur_predictor.proj.weight"] = torch.randn(1, h) * 0.01
+    sd["dur_predictor.proj.bias"] = torch.zeros(1)
+
+    torch.save(sd, root / "vocoder.pt")
+    (root / "vocoder.json").write_text(json.dumps(c))
+
+
+def vocode_units(root: Path, unit_seqs):
+    """units → waveforms via the SAME path inference_all uses."""
+    import jax.numpy as jnp
+
+    from mm_s2ut.models.hifigan import (
+        CodeHiFiGAN, HiFiGANConfig, load_fairseq_checkpoint,
+    )
+
+    cfg = HiFiGANConfig.from_json(root / "vocoder.json")
+    variables = load_fairseq_checkpoint(root / "vocoder.pt", cfg)
+    max_units = max(len(u) for u in unit_seqs)
+    model = CodeHiFiGAN(cfg, max_frames=4 * max_units + 8)
+    wavs = []
+    B = 16
+    for s in range(0, len(unit_seqs), B):
+        chunk = unit_seqs[s : s + B]
+        L = max(len(u) for u in chunk)
+        units = np.zeros((len(chunk), L), np.int32)
+        lens = np.array([len(u) for u in chunk], np.int32)
+        for i, u in enumerate(chunk):
+            units[i, : len(u)] = u
+        w, n = model.apply(
+            variables, jnp.asarray(units), jnp.asarray(lens), dur_prediction=True
+        )
+        w, n = np.asarray(w), np.asarray(n)
+        wavs.extend(w[i, : n[i]] for i in range(len(chunk)))
+    return wavs
+
+
+def train_asr(root: Path, rng, steps=800):
+    """Train a tiny torch wav2vec2-CTC to invert the synthetic vocoder."""
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2ForCTC as HFModel
+
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
+    for ch in "abcdefg":
+        vocab[ch] = len(vocab)
+    asr_dir = root / "asr"
+    asr_dir.mkdir(exist_ok=True)
+    (asr_dir / "vocab.json").write_text(json.dumps(vocab))
+
+    seqs = [rng.randint(0, N_UNITS, rng.randint(6, 14)) for _ in range(360)]
+    wavs = vocode_units(root, seqs)
+    labels = []
+    for u in seqs:
+        text = units_to_text(u).replace(" ", "|")
+        labels.append([vocab[ch] for ch in text])
+
+    cfg = HFConfig(
+        conv_dim=[32, 32], conv_stride=[5, 2], conv_kernel=[10, 3],
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, vocab_size=len(vocab),
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        layerdrop=0.0, final_dropout=0.0, mask_time_prob=0.0,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    model = HFModel(cfg)
+    model.freeze_feature_encoder()  # conv frontend trains poorly on tiny data
+    opt = torch.optim.Adam(model.parameters(), lr=3e-4)
+    B = 16
+    order = np.arange(len(seqs))
+    for step in range(steps):
+        if step % (len(seqs) // B) == 0:
+            rng.shuffle(order)
+        idx = order[(step * B) % len(seqs) : (step * B) % len(seqs) + B]
+        if len(idx) < 2:
+            continue
+        S = max(len(wavs[i]) for i in idx)
+        Lmax = max(len(labels[i]) for i in idx)
+        x = torch.zeros(len(idx), S)
+        y = torch.full((len(idx), Lmax), -100, dtype=torch.long)
+        for r, i in enumerate(idx):
+            x[r, : len(wavs[i])] = torch.tensor(wavs[i])
+            y[r, : len(labels[i])] = torch.tensor(labels[i])
+        out = model(x, labels=y)
+        opt.zero_grad()
+        out.loss.backward()
+        opt.step()
+        if step % 100 == 0:
+            print(f"asr step {step} ctc_loss {float(out.loss):.3f}", flush=True)
+    model.eval()
+    model.save_pretrained(asr_dir, safe_serialization=False)
+    return str(asr_dir)
+
+
+def unit_bleu(root: Path, results_root: Path, subset: str) -> float:
+    """BLEU of generated unit strings vs target unit strings (D- vs T-)."""
+    import sacrebleu
+
+    gen = (results_root / subset / f"generate-{subset}.txt").read_text()
+    hyps, refs = {}, {}
+    for line in gen.splitlines():
+        if line.startswith("D-"):
+            i, _, text = line.split("\t")
+            hyps[int(i[2:])] = text
+        elif line.startswith("T-"):
+            i, text = line.split("\t", 1)
+            refs[int(i[2:])] = text
+    keys = sorted(refs)
+    return sacrebleu.corpus_bleu(
+        [hyps.get(k, "") for k in keys], [[refs[k] for k in keys]]
+    ).score
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/parity_run")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--asr-steps", type=int, default=800)
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args(argv)
+    root = Path(args.root)
+    rng = np.random.RandomState(0)
+
+    print("== corpus ==", flush=True)
+    build_corpus(root, rng)
+    build_vocoder(root)
+
+    if not args.skip_train:
+        print("== train S2UT ==", flush=True)
+        from mm_s2ut.cli.train import main as train_main
+
+        train_main(["--config", str(root / "run.yaml"),
+                    "--set", f"train.max_update={args.steps}"])
+
+        print("== train ASR ==", flush=True)
+        train_asr(root, rng, steps=args.asr_steps)
+
+    print("== inference_all ==", flush=True)
+    from mm_s2ut.cli.inference_all import main as infall_main
+
+    results_root = root / "results"
+    rc = infall_main([
+        "--model_path", str(root / "ckpt"),
+        "--subsets", "valid", "test",
+        "--results-root", str(results_root),
+        "--vocoder", str(root / "vocoder.pt"),
+        "--vocoder-cfg", str(root / "vocoder.json"),
+        "--asr-model", str(root / "asr"),
+        "--reference-root", str(root / "refs"),
+        "--beam", "5",
+    ])
+    if rc != 0:
+        return rc
+
+    print("== summary ==")
+    for subset in ("valid", "test"):
+        bleu_line = (results_root / subset / "bleu.txt").read_text().strip()
+        ub = unit_bleu(root, results_root, subset)
+        print(f"{subset}: unit-BLEU {ub:.2f} | ASR-{bleu_line}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -162,3 +162,68 @@ def test_preprocess_images():
     out = preprocess_images([img], image_size=32)
     assert out.shape == (1, 32, 32, 3)
     assert out.min() >= -1.001 and out.max() <= 1.001
+
+
+def test_clip_converter_parity():
+    """Tiny HF CLIPVisionModel vs the flax CLIP tower (vit_openai path,
+    reference models/mm_s2s_transformer.py:286-288, 298-306): all hidden
+    states must match (the reference consumes output_hidden_states)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from mm_s2ut.models.vit import (
+        CLIPVisionConfig, CLIPVisionTransformer, convert_clip_state_dict,
+    )
+
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=8,
+    )
+    torch.manual_seed(0)
+    tmodel = transformers.CLIPVisionModel(hf_cfg).eval()
+
+    cfg = CLIPVisionConfig(
+        image_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+        mlp_ratio=2.0,
+    )
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_clip_state_dict(sd, cfg)
+
+    rng = np.random.RandomState(0)
+    px = rng.randn(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        out = tmodel(
+            pixel_values=torch.tensor(px.transpose(0, 3, 1, 2)),
+            output_hidden_states=True,
+        )
+    model = CLIPVisionTransformer(cfg)
+    states = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(px)
+    )
+    assert len(states) == len(out.hidden_states)
+    for got, want in zip(states, out.hidden_states):
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_preprocess_modes():
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from mm_s2ut.models.vit import CLIP_MEAN, CLIP_STD, preprocess_images
+
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(40, 60, 3) * 255).astype(np.uint8)
+    )
+    a = preprocess_images([img], 32, mode="timm")
+    b = preprocess_images([img], 32, mode="vit_openai")
+    c = preprocess_images([img], 32, mode="vit_huggingface")
+    assert a.shape == b.shape == c.shape == (1, 32, 32, 3)
+    # CLIP center-crops after shortest-side resize, so content differs from
+    # the squashed variants; normalization stats differ too.
+    assert not np.allclose(a, b)
+    # vit_huggingface uses bilinear vs timm's bicubic: close but not equal.
+    assert not np.array_equal(a, c)
+    with pytest.raises(ValueError):
+        preprocess_images([img], 32, mode="bogus")
