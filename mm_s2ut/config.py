@@ -26,7 +26,12 @@ import yaml
 # ---------------------------------------------------------------------------
 
 VISUAL_EXTRACTOR_TYPE_CHOICES = (None, "", "vit", "detr", "resnet", "resnet+encoder")
-MULTIMODAL_ATTENTION_TYPE_CHOICES = (None, "selective_attention", "multimodal_attention")
+MULTIMODAL_ATTENTION_TYPE_CHOICES = (
+    None, "selective_attention", "multimodal_attention",
+    # Fusion modules the reference implements (fuse.py:288-357, 360-447)
+    # but never lists in its shipped yaml choices — first-class here.
+    "external_multimodal_transformer", "bridge_tower",
+)
 
 
 @dataclass

@@ -25,6 +25,7 @@ from mm_s2ut import registry
 from mm_s2ut.config import ModelConfig
 from mm_s2ut.models.decoder import CTCHead, UnitDecoder
 from mm_s2ut.models.fusion import (
+    BridgeTowerEncoder,
     ExternalMultimodalEncoder,
     FusionBlock,
     QFormer,
@@ -120,6 +121,31 @@ class MMS2UTModel(nn.Module):
                 )
                 for i, dim in enumerate(mm.image_feat_dim)
             ]
+        elif mm.multimodal_attention_type == "bridge_tower":
+            # Bidirectional co-attention tower (reference
+            # BridgeTowerTransformerEncoder, fuse.py:360-447 — defined but
+            # unreachable in the reference's shipped configs; here wired as
+            # a first-class multimodal_attention_type). Consumes per-layer
+            # speech states like the external tower; the fused SPEECH
+            # stream (f1) replaces the encoder output.
+            n_layers = mm.external_multimodal_transformer_layers
+            self.bridge_towers = [
+                BridgeTowerEncoder(
+                    embed_dim=cfg.encoder_embed_dim,
+                    num_heads=max(cfg.encoder_embed_dim // 64, 1),
+                    ffn_dim=cfg.encoder_embed_dim * 4,
+                    num_layers=n_layers,
+                    dropout=mm.SA_attention_dropout,
+                    dtype=dtype,
+                    name=f"bridge_tower{i}",
+                )
+                for i, _ in enumerate(mm.image_feat_dim)
+            ]
+            self.bridge_img_projs = [
+                nn.Dense(cfg.encoder_embed_dim, dtype=dtype, name=f"bridge_img_proj{i}")
+                for i, _ in enumerate(mm.image_feat_dim)
+            ]
+            self.fusion_blocks = []
         elif mm.multimodal_attention_type == "external_multimodal_transformer":
             # Per-layer speech-state fusion tower (reference
             # multimodal_attention_type external_multimodal_transformer,
@@ -276,8 +302,10 @@ class MMS2UTModel(nn.Module):
                    "encoder_states": w2v["hidden_states"]}
             padding_mask = w2v["padding_mask"]
         else:
-            need_states = hasattr(self, "external_towers") or (
-                bool(self.fusion_blocks) and not mm.is_fusion_top
+            need_states = (
+                hasattr(self, "external_towers")
+                or hasattr(self, "bridge_towers")
+                or (bool(self.fusion_blocks) and not mm.is_fusion_top)
             )
             out = self.encoder(
                 src_features, src_lengths, deterministic=deterministic,
@@ -332,6 +360,33 @@ class MMS2UTModel(nn.Module):
                         deterministic=deterministic,
                     )
                 )
+            x = fused[0]
+            for extra in fused[1:]:
+                x = x + extra
+
+        if hasattr(self, "bridge_towers") and imgs_list:
+            if not deterministic and mm.modality_dropout > 0:
+                x, imgs_list = modality_dropout(
+                    self.make_rng("modality"), x, imgs_list,
+                    mm.modality_dropout, mm.audio_dropout,
+                )
+            n_layers = mm.external_multimodal_transformer_layers
+            states = out.get("encoder_states") or [x]
+            speech_states = (states[-n_layers:] + [x] * n_layers)[:n_layers] \
+                if len(states) >= n_layers else [states[-1]] * n_layers
+            fused = []
+            masks = list(img_masks_list) or [None] * len(imgs_list)
+            for tower, proj, img, img_mask in zip(
+                self.bridge_towers, self.bridge_img_projs, imgs_list, masks
+            ):
+                img_p = proj(img.astype(x.dtype))
+                f1, _ = tower(
+                    speech_states, [img_p] * n_layers,
+                    m1_key_padding_mask=padding_mask,
+                    m2_key_padding_mask=img_mask,
+                    deterministic=deterministic,
+                )
+                fused.append(f1)
             x = fused[0]
             for extra in fused[1:]:
                 x = x + extra

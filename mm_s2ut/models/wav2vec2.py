@@ -53,6 +53,13 @@ class Wav2Vec2Config:
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     vocab_size: int = 32  # CTC head (ASR use)
+    # LayerDrop (https://arxiv.org/abs/1909.11556): at train time each
+    # encoder layer is skipped with this probability — one draw per layer
+    # per forward, whole batch (reference fuse.py:599-601 / HF encoder).
+    layerdrop: float = 0.0
+    # Per-layer activation rematerialisation (reference uses
+    # torch.utils.checkpoint inside the fused encoder, fuse.py:603-617).
+    gradient_checkpointing: bool = False
     # TPU knobs (not part of the HF surface): fused Pallas attention, and
     # optional frame padding to a lane-friendly multiple (changes the
     # padded output length; masked positions carry no information).
@@ -76,6 +83,7 @@ class Wav2Vec2Config:
             do_stable_layer_norm=hf_cfg.do_stable_layer_norm,
             layer_norm_eps=hf_cfg.layer_norm_eps,
             mask_time_prob=getattr(hf_cfg, "mask_time_prob", 0.05),
+            layerdrop=getattr(hf_cfg, "layerdrop", 0.0),
             mask_time_length=getattr(hf_cfg, "mask_time_length", 10),
             vocab_size=getattr(hf_cfg, "vocab_size", 32),
         )
@@ -224,8 +232,14 @@ class Wav2Vec2Model(nn.Module):
         )
         self.pos_conv = PositionalConvEmbedding(c, dtype=self.dtype)
         self.encoder_norm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype)
+        # static_argnums counts self: deterministic (pos 3) must stay a
+        # Python bool under remat.
+        layer_cls = (
+            nn.remat(Wav2Vec2EncoderLayer, static_argnums=(3,))
+            if c.gradient_checkpointing else Wav2Vec2EncoderLayer
+        )
         self.layers = [
-            Wav2Vec2EncoderLayer(c, dtype=self.dtype, name=f"layer{i}")
+            layer_cls(c, dtype=self.dtype, name=f"layer{i}")
             for i in range(c.num_hidden_layers)
         ]
         self.drop = nn.Dropout(c.hidden_dropout)
@@ -276,11 +290,18 @@ class Wav2Vec2Model(nn.Module):
 
         bias = make_padding_bias(padding_mask, self.dtype)
         states = [hidden]
+        use_layerdrop = not deterministic and c.layerdrop > 0
         for layer in self.layers:
-            hidden = layer(
-                hidden, bias=bias, deterministic=deterministic,
-                key_padding_mask=padding_mask,
-            )
+            # Positional call: remat static_argnums counts self —
+            # (x=1, bias=2, deterministic=3, key_padding_mask=4).
+            out = layer(hidden, bias, deterministic, padding_mask)
+            if use_layerdrop:
+                # One uniform draw per layer per forward, whole batch
+                # (reference fuse.py:599-601). Static graph: compute the
+                # layer and select, preserving the skip distribution.
+                u = jax.random.uniform(self.make_rng("dropout"))
+                out = jnp.where(u < c.layerdrop, hidden, out)
+            hidden = out
             states.append(hidden)
         if c.do_stable_layer_norm:
             hidden = self.encoder_norm(hidden)
@@ -376,7 +397,9 @@ class Wav2Vec2WithMultiModal(nn.Module):
         img_bias = make_padding_bias(image_mask, self.dtype) if image_mask is not None else None
         n_fused = self.num_cross_attention_layers
         states = [hidden]
+        use_layerdrop = not deterministic and c.layerdrop > 0
         for i, layer in enumerate(base.layers):
+            x_in = hidden
             hidden = layer(hidden, bias=bias, deterministic=deterministic)
             j = i - (len(base.layers) - n_fused)
             if j >= 0:
@@ -389,6 +412,12 @@ class Wav2Vec2WithMultiModal(nn.Module):
                     self.gates[j](jnp.concatenate([attn_out, hidden], axis=-1))
                 )
                 hidden = (1.0 - g) * hidden + g * attn_out
+            if use_layerdrop:
+                # The reference's LayerDrop wraps its custom layer forward
+                # INCLUDING the in-layer fusion (fuse.py:599-624), so the
+                # skip covers the fused block too.
+                u = jax.random.uniform(self.make_rng("dropout"))
+                hidden = jnp.where(u < c.layerdrop, x_in, hidden)
             states.append(hidden)
         if c.do_stable_layer_norm:
             hidden = base.encoder_norm(hidden)

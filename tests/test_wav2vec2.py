@@ -143,3 +143,96 @@ def test_pad_to_multiple_matches_unpadded():
         np.asarray(out_b["last_hidden_state"])[:, : int(out_a["lengths"][1])],
         atol=2e-5, rtol=1e-4,
     )
+
+
+def test_layerdrop_skips_layers():
+    """layerdrop=1.0 at train time must skip every encoder layer (reference
+    fuse.py:599-601): the final hidden state equals the pre-loop state."""
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+
+    cfg = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, layerdrop=1.0,
+        hidden_dropout=0.0, attention_dropout=0.0, mask_time_prob=0.0,
+        use_flash_attention=False,
+    )
+    model = Wav2Vec2Model(cfg)
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 800), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), wav, deterministic=True)
+    out = model.apply(
+        variables, wav, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]),
+        np.asarray(out["hidden_states"][0]), atol=1e-6,
+    )
+    # layerdrop=0 path unchanged: deterministic forward ignores it.
+    out_det = model.apply(variables, wav, deterministic=True)
+    assert not np.allclose(
+        np.asarray(out_det["last_hidden_state"]),
+        np.asarray(out_det["hidden_states"][0]),
+    )
+
+
+def test_multimodal_layerdrop_covers_fusion():
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2WithMultiModal
+
+    cfg = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, layerdrop=1.0,
+        hidden_dropout=0.0, attention_dropout=0.0, mask_time_prob=0.0,
+        use_flash_attention=False,
+    )
+    model = Wav2Vec2WithMultiModal(cfg, m2_dim=16, num_cross_attention_layers=1)
+    rng = np.random.RandomState(1)
+    wav = jnp.asarray(rng.randn(2, 800), jnp.float32)
+    img = jnp.asarray(rng.randn(2, 4, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), wav, None, img, deterministic=True)
+    out = model.apply(
+        variables, wav, None, img, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    # All layers AND their fused cross-attention skipped.
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]),
+        np.asarray(out["hidden_states"][0]), atol=1e-6,
+    )
+
+
+def test_gradient_checkpointing_same_numerics():
+    """remat changes memory, not numerics: outputs and grads identical."""
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+
+    kw = dict(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, hidden_dropout=0.0,
+        attention_dropout=0.0, mask_time_prob=0.0, use_flash_attention=False,
+    )
+    wav = jnp.asarray(np.random.RandomState(2).randn(2, 800), jnp.float32)
+    outs, grads = [], []
+    for remat in (False, True):
+        cfg = Wav2Vec2Config(gradient_checkpointing=remat, **kw)
+        model = Wav2Vec2Model(cfg)
+        variables = model.init(jax.random.PRNGKey(0), wav, deterministic=True)
+
+        def loss(v):
+            return model.apply(v, wav, deterministic=True)[
+                "last_hidden_state"
+            ].sum()
+
+        outs.append(float(loss(variables)))
+        grads.append(jax.grad(loss)(variables))
+    assert abs(outs[0] - outs[1]) < 1e-4
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        grads[0], grads[1],
+    )
