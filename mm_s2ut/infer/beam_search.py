@@ -7,8 +7,9 @@ invoked by the reference at scripts/textless/2_inference.sh:34-43 with
 * the decode loop is a ``lax.while_loop`` with an early-exit condition
   (all batches finished or no alive beam can beat the worst finished
   hypothesis under the length penalty);
-* the self-attention KV cache is ONE buffer (B, 2, L, H, max_len·K, Dh)
-  with key column j = t·K + slot, and is NEVER physically reordered: each
+* the self-attention KV cache is ONE buffer (B, L, H, max_len·K, 2·Dh)
+  with key column j = t·K + slot and K‖V interleaved on the (128-lane)
+  last axis, and is NEVER physically reordered: each
   row stays in the beam slot that wrote it and a (B, K, T) ancestry table
   records which slot holds each step of each live beam's prefix — a fused
   Pallas kernel (ops/decode_attention.py) attends jointly over all K
@@ -180,8 +181,8 @@ def beam_search(
             return jnp.logical_and(not_done, improvable)
         return cond
 
-    kv_full = init_state["self_kv"]  # (B, 2, L, H, T·K, Dh)
-    T_full = kv_full.shape[4] // K
+    kv_full = init_state["self_kv"]  # (B, L, H, T·K, 2·Dh)
+    T_full = kv_full.shape[3] // K
     caps = []
     c = 64
     while c < T_full:
@@ -191,7 +192,7 @@ def beam_search(
 
     state0 = {
         **init_state,
-        "self_kv": kv_full[:, :, :, :, : caps[0] * K],
+        "self_kv": kv_full[:, :, :, : caps[0] * K],
         "ancestry": init_state["ancestry"][:, :, : caps[0]],
     }
     carry = (
@@ -204,8 +205,8 @@ def beam_search(
             kv = st["self_kv"]
             kv = jnp.pad(
                 kv,
-                ((0, 0), (0, 0), (0, 0), (0, 0),
-                 (0, cap * K - kv.shape[4]), (0, 0)),
+                ((0, 0), (0, 0), (0, 0),
+                 (0, cap * K - kv.shape[3]), (0, 0)),
             )
             anc = st["ancestry"]
             anc = jnp.pad(anc, ((0, 0), (0, 0), (0, cap - anc.shape[2])))
@@ -225,7 +226,7 @@ def beam_search(
 
 def tile_state_for_beams(state: Any, beam_size: int) -> Any:
     """Expand the self-attention cache's flattened time axis by the beam
-    count, (B, 2, L, H, T, Dh) → (B, 2, L, H, T·K, Dh) with key column
+    count, (B, L, H, T, 2·Dh) → (B, L, H, T·K, 2·Dh) with key column
     j = t·K + slot, and attach the (B, K, T) beam-ancestry table (all
     zeros: before any selection the only live beam is slot 0 and the mask
     ignores unwritten positions). The cache is empty at this point, so
@@ -236,9 +237,9 @@ def tile_state_for_beams(state: Any, beam_size: int) -> Any:
     (MultiHeadAttention beam-broadcast path) so encoder K/V reads don't
     scale with beam width."""
     kv = state["self_kv"]
-    B, T = kv.shape[0], kv.shape[4]
+    B, T = kv.shape[0], kv.shape[3]
     shape = list(kv.shape)
-    shape[4] = T * beam_size
+    shape[3] = T * beam_size
     return {
         **state,
         "self_kv": jnp.zeros(shape, kv.dtype),

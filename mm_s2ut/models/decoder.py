@@ -176,26 +176,30 @@ class UnitDecoder(nn.Module):
         max_len: int,
     ) -> DecoderState:
         """Pre-project encoder K/V per layer; allocate ONE stacked
-        self-attention cache (B, 2, num_layers, H, max_len·S, Dh) whose
-        time axis is pre-flattened over the beam-slot axis S (S=1 until
-        ``tile_state_for_beams`` expands it; key column j = t·S + s).
+        self-attention cache (B, num_layers, H, max_len·S, 2·Dh) whose
+        second-to-last axis is pre-flattened over the beam-slot axis S
+        (S=1 until ``tile_state_for_beams`` expands it; key column
+        j = t·S + s) and whose last axis interleaves K‖V.
 
-        Layout rationale: (b, h) lead and the flattened (t·S+s) axis sits
-        directly above the contraction dim, so the beam search's
-        joint-slot attention (q (B,H,K,Dh) @ k (B,H,T·S,Dh)ᵀ and
-        p (B,H,K,T·S) @ v (B,H,T·S,Dh)) lowers to native batched MXU GEMMs
-        with NO cache relayout, and the decode-attention Pallas kernel can
-        pull each layer's contiguous (2, T·S, Dh) slab straight from this
-        buffer via its BlockSpec index map — an XLA-side per-layer slice
-        would copy the whole cache every step (measured: as expensive as
-        physically reordering it)."""
+        Layout rationale (all measured on v5e at B=32 K=5 T=201):
+          * last axis 2·Dh = 128 = exactly one lane tile — with Dh=64
+            minor, XLA pads lanes to 128 (2× physical cache) and lowers
+            the per-step row write as a FULL-CACHE copy (1.27 ms/step);
+            interleaved at 128 lanes the same write is in-place
+            (0.009 ms/step) and the cache is half the bytes;
+          * the flattened (t·S+s) axis sits directly above the
+            contraction dim, so the joint-slot attention matmuls are
+            native MXU GEMMs in storage order, and the decode-attention
+            Pallas kernel pulls each layer's contiguous (T·S, 2·Dh) slab
+            via its BlockSpec index map — an XLA-side per-layer slice
+            would copy the cache every step."""
         B = encoder_out.shape[0]
         H = self.num_heads
         Dh = self.embed_dim // H
         state: DecoderState = {
             "step": jnp.zeros((), jnp.int32),
             "self_kv": jnp.zeros(
-                (B, 2, self.num_layers, H, max_len, Dh), self.dtype
+                (B, self.num_layers, H, max_len, 2 * Dh), self.dtype
             ),
             "cross": [layer.cross_attn.precompute_kv(encoder_out) for layer in self.layers],
         }
@@ -214,16 +218,17 @@ class UnitDecoder(nn.Module):
         stacked buffer gets ONE batched row update per step; per-layer
         .at[].set() copies the whole stack each time).
 
-        ``kv`` is the WHOLE stacked cache (B, 2, L, H, T·S, Dh). With
-        ``flat_rep`` (B, K, T·S) set (beam search; entry j where key
-        column j is on beam k's ancestry path and in the past, else -1),
-        the cache is *ancestry-indexed*: rows stay in the physical slot
-        that wrote them and each beam attends jointly over ALL S=K slots.
-        This replaces the per-step physical cache reorder (read+write of
-        the whole cache, measured 0.82 ms/step of a 1.21 ms/step decode at
-        B=8 K=5) with a fused Pallas kernel (ops/decode_attention.py) that
-        streams the cache through the MXU exactly once and never
-        materializes the joint score tensor to HBM.
+        ``kv`` is the WHOLE stacked cache (B, L, H, T·S, 2·Dh), K‖V
+        interleaved on the last axis. With ``flat_rep`` (B, K, T·S) set
+        (beam search; entry j where key column j is on beam k's ancestry
+        path and in the past, else -1), the cache is *ancestry-indexed*:
+        rows stay in the physical slot that wrote them and each beam
+        attends jointly over ALL S=K slots. This replaces the per-step
+        physical cache reorder (read+write of the whole cache, measured
+        0.82 ms/step of a 1.21 ms/step decode at B=8 K=5) with a fused
+        Pallas kernel (ops/decode_attention.py) that streams the cache
+        through the MXU exactly once and never materializes the joint
+        score tensor to HBM.
         """
         attn = layer.self_attn
         scale = attn.head_dim**-0.5
@@ -243,7 +248,7 @@ class UnitDecoder(nn.Module):
         k_new = attn._split(k_new)
         v_new = attn._split(v_new)
         N = x.shape[0]
-        B, H, Dh = kv.shape[0], kv.shape[3], kv.shape[5]
+        B, H, Dh = kv.shape[0], kv.shape[2], kv.shape[4] // 2
         K = N // B
 
         def to_bhkd(t):  # (N, 1, H, Dh) → (B, H, K, Dh)
@@ -261,12 +266,12 @@ class UnitDecoder(nn.Module):
         else:
             # Plain incremental decoding (untiled state, S == 1): slot k's
             # history is its own rows; single-query matvec form.
-            T = kv.shape[4]
+            T = kv.shape[3]
             logit_self = jnp.einsum(
                 "bqhd,bqhd->bhq", q, k_new, preferred_element_type=jnp.float32
             )[..., None]  # (N, H, 1, 1)
-            k_sq = kv[:, 0, layer_idx]  # (B, H, T, Dh)
-            v_sq = kv[:, 1, layer_idx]
+            k_sq = kv[:, layer_idx, :, :, :Dh]  # (B, H, T, Dh)
+            v_sq = kv[:, layer_idx, :, :, Dh:]
             q_t = q.transpose(0, 2, 1, 3)  # (N, H, 1, Dh)
             logits_hist = jnp.einsum(
                 "bhqd,bhtd->bhqt", q_t, k_sq, preferred_element_type=jnp.float32
@@ -300,7 +305,7 @@ class UnitDecoder(nn.Module):
             # Encode as flat_rep[b, k, j] = j when valid, -1 otherwise —
             # the decode-attention kernel compares it against the column id.
             B_, K_, T_ = ancestry.shape
-            S_ = kv.shape[4] // T_
+            S_ = kv.shape[3] // T_
             t_idx = jnp.arange(T_, dtype=jnp.int32)[None, None, :]
             flat_idx = jnp.where(
                 t_idx < step_idx, t_idx * S_ + ancestry.astype(jnp.int32), -1
@@ -340,9 +345,12 @@ class UnitDecoder(nn.Module):
         if self.normalize_before:
             x = self.final_norm(x)
         logits = self._output(x)[:, -1]
-        # ONE batched write: (B, 2, nL, H, S, Dh) rows at flattened position
-        # step·S — beam-slot k writes its token's K/V into column step·S+k.
-        B_, H_, Dh_ = kv.shape[0], kv.shape[3], kv.shape[5]
+        # ONE batched in-place write: (B, nL, H, S, 2·Dh) interleaved K‖V
+        # rows at flattened position step·S — beam-slot k writes its token
+        # into column step·S+k. The 128-lane last axis keeps this an
+        # in-place row update (any other layout makes XLA copy the whole
+        # cache per step — see init_state).
+        B_, H_, Dh_ = kv.shape[0], kv.shape[2], kv.shape[4] // 2
         N_ = prev_token.shape[0]
         S_ = N_ // B_
 
@@ -351,9 +359,11 @@ class UnitDecoder(nn.Module):
             r = r.reshape(B_, S_, len(per_layer), H_, Dh_)
             return r.transpose(0, 2, 3, 1, 4)  # (B, nL, H, S, Dh)
 
-        new_rows = jnp.stack([to_rows(new_ks), to_rows(new_vs)], axis=1)
+        new_rows = jnp.concatenate(
+            [to_rows(new_ks), to_rows(new_vs)], axis=-1
+        )  # (B, nL, H, S, 2·Dh)
         kv = jax.lax.dynamic_update_slice_in_dim(
-            kv, new_rows, step_idx * S_, axis=4
+            kv, new_rows, step_idx * S_, axis=3
         )
         # Carry everything else (incl. the beam-search ancestry table, which
         # the search itself rewrites after candidate selection) unchanged.

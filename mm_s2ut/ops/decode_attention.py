@@ -17,14 +17,24 @@ fp32 intermediates per step at B=8 K=5 T=200 and is as slow as the
 physical reorder it replaces).
 
 Layout contract (set by ``UnitDecoder.init_state``): the cache is ONE
-buffer (B, 2, L, H, T·S, Dh) with key column j = t·S + s sitting directly
-above the contraction dim, so both matmuls are native MXU GEMMs in the
-cache's storage order, and each layer's (2, T·S, Dh) slab is contiguous —
-selected by this kernel's BlockSpec index map with no XLA-side slice.
+buffer (B, L, H, T·S, 2·Dh) with key column j = t·S + s on the
+second-to-last axis and K‖V *interleaved on the last axis* (k = x[..., :Dh],
+v = x[..., Dh:]). Two reasons, both measured on v5e:
 
-The grid is (B, H); each program holds one head's full (T·S, Dh) K and V
-block in VMEM (≤ ~256 KB at T=201, S=10, Dh=64) — a single-pass softmax,
-not an online/flash loop, which only pays at far longer contexts.
+  * **128 lanes**: with Dh = 64 as the minor axis, XLA pads lanes 64→128
+    (2× physical cache) and lowers the per-step dynamic_update_slice
+    write as a FULL-CACHE copy (1.27 ms/step at B=32 — as expensive as
+    the physical reorder this design removes). With 2·Dh = 128 exactly
+    one lane tile, the same write is in-place and free (0.009 ms/step),
+    and the cache is half the physical bytes.
+  * the (t·S+s) axis sits directly above the contraction dim, so both
+    attention matmuls are native MXU GEMMs in the cache's storage order,
+    and each layer's (T·S, 2·Dh) slab is selected by this kernel's
+    BlockSpec index map with no XLA-side slice.
+
+The grid is (B, H); each program holds one head's full (T·S, 2·Dh) block
+in VMEM (~257 KB bf16 at T=201, S=5) — a single-pass softmax, not an
+online/flash loop, which only pays at far longer contexts.
 """
 from __future__ import annotations
 
@@ -33,7 +43,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
@@ -43,14 +52,15 @@ def _kernel(flat_ref, q_ref, kn_ref, vn_ref, kv_ref, o_ref):
     #   flat (K, T·S) int32 — per key column j=(t·S+s): j if (t, s) is on
     #   beam k's ancestry path and t < step, else -1 (precomputed on the
     #   XLA side once per step, shared across layers/heads)
-    #   q / kn / vn (K, Dh); kv (2, T·S, Dh) — this layer's K and V slabs,
-    #   selected straight out of the stacked decode cache by the BlockSpec
-    #   index map (no XLA-side slice, which would copy the cache);
-    #   o (K, Dh)
+    #   q / kn / vn (K, Dh); kv (T·S, 2·Dh) — this layer+head's
+    #   interleaved K‖V slab, selected straight out of the decode cache
+    #   by the BlockSpec index map (no XLA-side slice, which would copy
+    #   the cache); o (K, Dh)
     q = q_ref[...]  # (K, Dh)
     K, Dh = q.shape
-    k2 = kv_ref[0]  # (T·S, Dh)
-    v2 = kv_ref[1]
+    kv = kv_ref[...]  # (T·S, 2·Dh)
+    k2 = kv[:, :Dh]
+    v2 = kv[:, Dh:]
     TS = k2.shape[0]
     scores = jax.lax.dot_general(
         q, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -78,7 +88,7 @@ def ancestry_decode_attention(
     q: jnp.ndarray,        # (B, H, K, Dh), already scaled by Dh^-0.5
     k_new: jnp.ndarray,    # (B, H, K, Dh) — this step's projected key
     v_new: jnp.ndarray,    # (B, H, K, Dh)
-    kv: jnp.ndarray,       # (B, 2, L, H, T·S, Dh) stacked decode cache
+    kv: jnp.ndarray,       # (B, L, H, T·S, 2·Dh) interleaved decode cache
     flat_rep: jnp.ndarray,  # (B, K, T·S) int32: key column id if on-path,
                             # -1 otherwise (see UnitDecoder.step)
     layer: int,
@@ -86,11 +96,11 @@ def ancestry_decode_attention(
 ) -> jnp.ndarray:
     """Returns (B, H, K, Dh) in q.dtype.
 
-    ``kv`` is the WHOLE stacked cache; the layer's K/V slabs are selected
+    ``kv`` is the WHOLE stacked cache; the layer's K‖V slab is selected
     by the BlockSpec index map so no XLA-side slice (= full-cache copy,
     as expensive as the physical reorder this kernel removes) happens."""
     B, H, K, Dh = q.shape
-    TS = kv.shape[4]
+    TS = kv.shape[3]
     grid = (B, H)
     out = pl.pallas_call(
         _kernel,
@@ -101,8 +111,8 @@ def ancestry_decode_attention(
             pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec(
-                (None, 2, None, None, TS, Dh),
-                lambda b, h: (b, 0, layer, h, 0, 0),
+                (None, None, None, TS, 2 * Dh),
+                lambda b, h: (b, layer, h, 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
@@ -128,9 +138,9 @@ def reference(
 ) -> jnp.ndarray:
     """XLA reference of the same contraction (CPU/test fallback)."""
     B, H, K, Dh = q.shape
-    TS = kv.shape[4]
-    k_cache = kv[:, 0, layer]  # (B, H, T·S, Dh)
-    v_cache = kv[:, 1, layer]
+    TS = kv.shape[3]
+    k_cache = kv[:, layer, :, :, :Dh]  # (B, H, T·S, Dh)
+    v_cache = kv[:, layer, :, :, Dh:]
     scores = jnp.einsum(
         "bhkd,bhjd->bhkj", q, k_cache, preferred_element_type=jnp.float32
     )

@@ -91,7 +91,7 @@ def step_only(n):
 
 
 # --- standalone components ---------------------------------------------------
-kv = jnp.zeros((B, 2, L, H, CAP * BEAM, Dh), jnp.bfloat16)
+kv = jnp.zeros((B, L, H, CAP * BEAM, 2 * Dh), jnp.bfloat16)
 anc = jnp.zeros((B, BEAM, CAP), jnp.int32)
 t_idx = jnp.arange(CAP, dtype=jnp.int32)[None, None, :]
 flat = jnp.where(t_idx < CAP - 1, t_idx * BEAM + anc, -1)
@@ -115,7 +115,9 @@ def comp_kernel(n):
         def body(c, _):
             acc = c
             for layer in range(L):
-                acc = acc + fn(q, q, q, kv, flat_rep, layer)
+                # feed acc back so the calls are NOT loop-invariant
+                # (XLA hoists invariant calls out of the scan entirely)
+                acc = acc + fn(q + acc * 0.01, q, q, kv, flat_rep, layer)
             return acc, ()
         out, _ = jax.lax.scan(body, jnp.zeros_like(q), None, length=n)
         return out.sum()

@@ -30,3 +30,20 @@ def rng():
     import jax
 
     return jax.random.PRNGKey(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy jit-compile tests (excluded from the fast tier)"
+    )
+    config.addinivalue_line(
+        "markers",
+        "fast: auto-applied to everything not slow; `pytest -m fast` is the "
+        "<5-minute single-CPU tier",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

@@ -1,5 +1,6 @@
 """Ancestry-indexed decode-attention kernel vs its XLA reference, and vs a
-brute-force gather formulation (the semantics the physical reorder had)."""
+brute-force gather formulation (the semantics the physical reorder had).
+Cache layout: (B, L, H, T·K, 2·Dh), K‖V interleaved on the last axis."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,7 +14,7 @@ def _make(B=2, H=4, K=3, T=16, L=2, Dh=8, step=9, seed=0, dtype=jnp.float32):
     q = jnp.asarray(rng.randn(B, H, K, Dh), dtype) * 0.3
     k_new = jnp.asarray(rng.randn(B, H, K, Dh), dtype) * 0.3
     v_new = jnp.asarray(rng.randn(B, H, K, Dh), dtype) * 0.3
-    kv = jnp.asarray(rng.randn(B, 2, L, H, T * K, Dh), dtype) * 0.3
+    kv = jnp.asarray(rng.randn(B, L, H, T * K, 2 * Dh), dtype) * 0.3
     ancestry = jnp.asarray(rng.randint(0, K, (B, K, T)), jnp.int32)
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, None, :]
     flat_idx = jnp.where(t_idx < step, t_idx * K + ancestry, -1)
@@ -31,9 +32,9 @@ def _brute_force(q, k_new, v_new, kv, ancestry, step, layer):
     for b in range(B):
         for h in range(H):
             for k in range(K):
-                keys = [kv[b, 0, layer, h, t * K + int(ancestry[b, k, t])]
+                keys = [kv[b, layer, h, t * K + int(ancestry[b, k, t]), :Dh]
                         for t in range(step)]
-                vals = [kv[b, 1, layer, h, t * K + int(ancestry[b, k, t])]
+                vals = [kv[b, layer, h, t * K + int(ancestry[b, k, t]), Dh:]
                         for t in range(step)]
                 keys.append(k_new[b, h, k])
                 vals.append(v_new[b, h, k])

@@ -7,6 +7,9 @@ mm_s2ut.utils.fairseq_convert, and asserts logits parity against this
 framework's JAX models — the HiFiGAN-converter test pattern
 (tests/test_hifigan.py) applied to the flagship model and mHuBERT.
 """
+import pytest
+
+pytestmark = pytest.mark.slow
 import math
 
 import numpy as np

@@ -1,6 +1,9 @@
 """Full eval-loop integration test (SURVEY.md C19/§3.5): trained ckpt →
 generate → unit extraction → vocode → wav2vec2-CTC ASR → ASR-BLEU, all
 through cli.inference_all with the reference's intermediate artifacts."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import json
 from pathlib import Path
 

@@ -1,5 +1,8 @@
 """End-to-end CLI test: train → checkpoint → python -m mm_s2ut.inference
 (single + batch) → .unit files → vocoder wavs. The full product surface."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 import pytest
 

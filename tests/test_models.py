@@ -1,4 +1,7 @@
 """Model-layer tests: shapes, masking, fusion semantics, incremental parity."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,8 @@
 """Tensor-parallel correctness: sharding params Megatron-style over the
 model axis must not change the math (XLA inserts the collectives)."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 import pytest
 

@@ -1,5 +1,8 @@
 """End-to-end task test: TSV corpus → device fbank → train steps → beam
 decode — the minimum vertical slice (SURVEY.md §7)."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 import pytest
 

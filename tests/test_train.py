@@ -1,4 +1,7 @@
 """Training-layer tests: criterion math, CTC, schedule, sharded train step."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

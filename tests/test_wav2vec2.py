@@ -1,4 +1,7 @@
 """wav2vec2 family tests: HF numerical parity, masking, in-layer fusion."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 import pytest
 

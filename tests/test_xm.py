@@ -1,5 +1,8 @@
 """Enhanced-path tests: adaptor, mm_xm_transformer, S2T task end-to-end,
 temperature resampling."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 import pytest
 
