@@ -30,6 +30,59 @@ from functools import partial
 import numpy as np
 
 BASELINE_UTT_PER_SEC = 10.0  # estimated fairseq-generate throughput (see above)
+PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip peak (bf16)
+
+
+def pipeline_flops(B, T_frames, beam, steps, cfg, voc_cfg, T_img=577, img_dim=768):
+    """Analytic FLOP count (2·MACs) for one benchmark batch: fbank-fed
+    encoder + selective-attention fusion + beam decode + unit HiFi-GAN.
+    Matmul/conv terms only (elementwise/softmax/norms are bandwidth, not
+    MXU work); ~5% coverage slack is acceptable for an MFU figure."""
+    D = cfg.encoder_embed_dim
+    Dd = cfg.decoder_embed_dim
+    V = cfg.vocab_size
+    N = B * beam
+    f = 0.0
+    # Conv subsampler (stride-2 ×2, GLU halves channels).
+    mid = cfg.conv_channels
+    T2, T4 = T_frames // 2, T_frames // 4
+    f += 2 * B * T2 * 5 * 80 * mid
+    f += 2 * B * T4 * 5 * (mid // 2) * (2 * D)
+    # Encoder stack.
+    for _ in range(cfg.encoder_layers):
+        f += 2 * B * T4 * D * D * 4          # qkv + out
+        f += 2 * 2 * B * T4 * T4 * D         # scores + context
+        f += 2 * 2 * B * T4 * D * cfg.encoder_ffn_embed_dim
+    # Selective-attention fusion (1 source).
+    f += 2 * B * T4 * D * D                  # q
+    f += 2 * 2 * B * T_img * img_dim * D     # k + v
+    f += 2 * 2 * B * T4 * T_img * D          # scores + context
+    f += 2 * B * T4 * D * D                  # out proj
+    f += 2 * B * T4 * (2 * D) * D            # gate
+    # Decoder: per-step projections + logits; attention summed over steps.
+    per_step = 2 * N * Dd * Dd * (3 + 1 + 2) + 2 * 2 * N * Dd * cfg.decoder_ffn_embed_dim
+    per_step *= cfg.decoder_layers
+    per_step += 2 * N * Dd * V               # logits
+    per_step += 2 * 2 * N * T4 * Dd * cfg.decoder_layers  # cross attn
+    f += steps * per_step
+    f += 2 * 2 * N * Dd * cfg.decoder_layers * (steps * (steps + 1) // 2)  # self attn
+    # Cross K/V pre-projection (once).
+    f += 2 * 2 * B * T4 * D * Dd * cfg.decoder_layers
+    # Unit HiFi-GAN on the top hypothesis (B sequences of ≤steps units).
+    ch = voc_cfg.upsample_initial_channel
+    t = steps  # ~1 frame/unit lower bound at dur≈1
+    f += 2 * B * t * voc_cfg.model_in_dim * ch * 7
+    n_res = len(voc_cfg.resblock_kernel_sizes)
+    for i, (r, k) in enumerate(zip(voc_cfg.upsample_rates, voc_cfg.upsample_kernel_sizes)):
+        out_ch = ch // 2
+        t *= r
+        f += 2 * B * t * ch * out_ch * k // r  # transposed conv
+        for rk, dils in zip(voc_cfg.resblock_kernel_sizes, voc_cfg.resblock_dilation_sizes):
+            # each MRF block: len(dils) dilated convs + len(dils) plain convs
+            f += 2 * 2 * len(dils) * B * t * out_ch * out_ch * rk
+        ch = out_ch
+    f += 2 * B * t * ch * 1 * 7
+    return f
 
 
 def main():
@@ -145,6 +198,9 @@ def main():
     utt_per_sec = B / marginal
     rtf = B * SECONDS / marginal
 
+    n_frames = int(feats0.shape[1])
+    flops = pipeline_flops(B, n_frames, BEAM, MAX_LEN, cfg, voc_cfg)
+    mfu = flops / marginal / PEAK_BF16_FLOPS
     print(json.dumps({
         "metric": "e2e_s2st_beam5_vocoder_utterances_per_sec",
         "value": round(utt_per_sec, 3),
@@ -154,6 +210,8 @@ def main():
             "rtf_x_realtime": round(rtf, 1),
             "beam": BEAM, "decode_steps": MAX_LEN, "batch": B,
             "sec_per_batch": round(marginal, 4),
+            "model_tflops_per_batch": round(flops / 1e12, 3),
+            "mfu_pct": round(100 * mfu, 2),
             "t_n1": round(t1, 3), "t_n2": round(t2, 3),
         },
     }))

@@ -201,12 +201,32 @@ def bench_train_step():
     run = lambda n: run_n(state, n)
     per = _two_point(run, 1, 5)
     frames = B * T
+    # FLOP model: fwd = encoder+fusion (shared with bench.pipeline_flops
+    # minus decode/vocoder) + teacher-forced decoder; train ≈ 3× fwd
+    # (fwd + 2× bwd).
+    import bench as root_bench
+
+    enc_flops = root_bench.pipeline_flops(
+        B, T, 1, 0, cfg, __import__("mm_s2ut.models.hifigan", fromlist=["HiFiGANConfig"]).HiFiGANConfig()
+    )
+    D = cfg.decoder_embed_dim
+    T4 = T // 4
+    dec = 0.0
+    for _ in range(cfg.decoder_layers):
+        dec += 2 * B * Tt * D * D * 8
+        dec += 2 * 2 * B * Tt * Tt * D        # causal self-attn
+        dec += 2 * 2 * B * Tt * T4 * D        # cross-attn
+        dec += 2 * 2 * B * Tt * D * cfg.decoder_ffn_embed_dim
+    dec += 2 * B * Tt * D * cfg.vocab_size
+    train_flops = 3 * (enc_flops + dec)
     print(json.dumps({
         "metric": "train_step_seconds",
         "value": round(per, 4), "unit": "s/step",
         "vs_baseline": None,
         "extra": {"batch": B, "src_frames": T, "tgt_tokens": B * Tt,
-                  "source_frames_per_sec": round(frames / per, 0)},
+                  "source_frames_per_sec": round(frames / per, 0),
+                  "model_tflops_per_step": round(train_flops / 1e12, 3),
+                  "mfu_pct": round(100 * train_flops / per / root_bench.PEAK_BF16_FLOPS, 2)},
     }))
 
 

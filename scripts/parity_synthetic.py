@@ -279,7 +279,7 @@ def main(argv=None):
         from mm_s2ut.cli.train import main as train_main
 
         train_main(["--config", str(root / "run.yaml"),
-                    "--set", f"train.max_update={args.steps}"])
+                    f"train.max_update={args.steps}"])
 
         print("== train ASR ==", flush=True)
         train_asr(root, rng, steps=args.asr_steps)
