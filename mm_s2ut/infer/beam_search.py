@@ -120,6 +120,10 @@ def beam_search(
         if unk_penalty != 0.0:
             logp = logp.at[:, unk_id].add(-unk_penalty)
         logp = logp.reshape(B, K, V)
+        # fairseq SequenceGenerator semantics: the length budget forces the
+        # final token to EOS (lprobs masked to eos-only at step >= max_len).
+        eos_only = jnp.full((V,), NEG_INF, jnp.float32).at[eos_id].set(0.0)
+        logp = jnp.where(step + 1 >= max_len, eos_only[None, None], logp)
 
         cand = alive_logp[:, :, None] + logp  # (B, K, V)
         flat = cand.reshape(B, K * V)

@@ -1,0 +1,373 @@
+"""Continuous-batching beam-decode serving loop.
+
+The BASELINE north star names "continuous batching" for device-side
+decode serving; fairseq-generate (the reference's only inference driver,
+scripts/textless/2_inference.sh) can't do it — a batch's fast finishers
+wait for its slowest member. Here the decode batch is a pool of SLOTS:
+when an utterance finishes, its slot is refilled from the request queue
+at the next chunk boundary while the other slots keep decoding, so the
+chip never idles on drained slots.
+
+TPU-native design (everything jit-compiled at fixed shapes):
+
+  * the self-attention cache keeps the offline layout
+    (B, L, H, T_ring·K, 2·Dh) but the flattened time axis is a RING:
+    every active slot writes its new K/V rows at the SAME physical ring
+    position (the global counter g mod T_ring) — one aligned in-place
+    dynamic_update_slice per step, identical to offline decode — while
+    each slot's *logical* time is its own local_step. Per-slot validity
+    and beam ancestry are resolved entirely by the ancestry-mask
+    (flat_rep) that the fused decode-attention kernel already consumes
+    (UnitDecoder.serve_step), so continuous batching costs NOTHING on
+    the hot path: no per-slot scatter, no cache rewrites on admit.
+  * admission happens between jitted decode CHUNKS (``chunk`` steps per
+    dispatch): finished slots are detected on host, their hypotheses
+    emitted, new requests' encoder outputs written into the slot's
+    cross-attention cache by a jitted admit function (leading-axis
+    where-merge), and per-slot search state reset by the same masks.
+  * per-slot beam search state mirrors infer/beam_search.py exactly
+    (2K candidate scoring, EOS finalization, length-normalized scores,
+    early-uninprovable detection) — batched over slots with per-slot
+    step counts; a slot reaching its ``max_len = a·src + b`` budget is
+    forced to EOS, matching fairseq's SequenceGenerator semantics.
+
+Results are bit-identical to offline ``beam_search`` per utterance (the
+test asserts it): chunking and slot sharing change scheduling, not math.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e7
+
+
+def _length_norm(length: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    return jnp.maximum(length, 1).astype(jnp.float32) ** alpha
+
+
+@dataclasses.dataclass
+class Request:
+    """One utterance to decode. ``features``/``length`` feed the encoder;
+    ``imgs``/``img_masks`` are optional image-source tuples."""
+
+    uid: Any
+    features: np.ndarray  # (T, F)
+    length: int
+    imgs: Tuple[np.ndarray, ...] = ()
+    img_masks: Tuple[np.ndarray, ...] = ()
+
+
+@dataclasses.dataclass
+class Result:
+    uid: Any
+    tokens: List[int]  # best hypothesis, EOS/pad stripped
+    score: float
+
+
+class ContinuousServer:
+    """Slot-pool beam-decode server around an MMS2UTModel.
+
+    ``run(requests)`` consumes an iterable of :class:`Request` and
+    returns :class:`Result` per request (arbitrary completion order).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        slots: int = 8,
+        beam_size: int = 5,
+        ring: int = 256,
+        chunk: int = 16,
+        enc_frames: int = 1024,
+        eos_id: int = 2,
+        bos_id: int = 2,
+        pad_id: int = 1,
+        vocab_size: int = 1004,
+        len_penalty: float = 1.0,
+        max_len_a: float = 1.0,
+        max_len_b: int = 200,
+        n_img_sources: int = 0,
+        img_shapes: Tuple[Tuple[int, int], ...] = (),
+    ):
+        if max_len_b >= ring:
+            raise ValueError("ring must exceed max_len_b (no wrap within one utterance)")
+        self.model = model
+        self.params = params
+        self.B, self.K = slots, beam_size
+        self.ring, self.chunk = ring, chunk
+        self.enc_frames = enc_frames
+        self.eos, self.bos, self.pad = eos_id, bos_id, pad_id
+        self.V = vocab_size
+        self.len_penalty = len_penalty
+        self.max_len_a, self.max_len_b = max_len_a, max_len_b
+        self.img_shapes = tuple(img_shapes)[:n_img_sources] if n_img_sources else ()
+        self._decode_chunk = jax.jit(self._decode_chunk_impl)
+        self._admit = jax.jit(self._admit_impl)
+        self._encode = jax.jit(self._encode_impl)
+
+    # -- jitted pieces -------------------------------------------------------
+
+    def _encode_impl(self, params, feats, lengths, imgs, img_masks):
+        enc = self.model.apply(
+            params, feats, lengths, imgs, img_masks, None,
+            deterministic=True, method=self.model.encode,
+        )
+        return enc["encoder_out"], enc["encoder_padding_mask"]
+
+    def init_state(self, params) -> Dict[str, Any]:
+        """All-idle server state (cross caches sized from a dummy encode)."""
+        B, K, T = self.B, self.K, self.ring
+        feats = jnp.zeros((B, self.enc_frames, 80), jnp.float32)
+        lengths = jnp.full((B,), self.enc_frames, jnp.int32)
+        imgs = tuple(jnp.zeros((B, t, d), jnp.float32) for t, d in self.img_shapes)
+        masks = tuple(jnp.zeros((B, t), bool) for t, d in self.img_shapes)
+        enc_out, enc_mask = self._encode(params, feats, lengths, imgs, masks)
+        dec = self.model.apply(
+            params, {"encoder_out": enc_out, "encoder_padding_mask": enc_mask,
+                     "encoder_states": []},
+            T, method=self.model.decode_init,
+        )
+        kv = dec["self_kv"]
+        shape = list(kv.shape)
+        shape[3] = T * K
+        state = {
+            **dec,
+            "self_kv": jnp.zeros(shape, kv.dtype),
+            "ancestry": jnp.zeros((B, K, T), jnp.int32),
+            "g": jnp.zeros((), jnp.int32),
+            "local_step": jnp.zeros((B,), jnp.int32),
+            "ring_base": jnp.zeros((B,), jnp.int32),
+            # search state
+            "alive_seq": jnp.full((B, K, T), self.pad, jnp.int32),
+            "alive_logp": jnp.full((B, K), NEG_INF, jnp.float32),
+            "fin_seq": jnp.full((B, K, T), self.pad, jnp.int32),
+            "fin_scores": jnp.full((B, K), NEG_INF, jnp.float32),
+            "fin_flags": jnp.zeros((B, K), bool),
+            "slot_max": jnp.zeros((B,), jnp.int32),
+            "active": jnp.zeros((B,), bool),
+        }
+        del state["step"]
+        return state
+
+    def _admit_impl(self, params, state, admit_mask, enc_out, enc_mask):
+        """Merge freshly encoded utterances into admitted slots and reset
+        their search state; non-admitted slots untouched."""
+        B, K, T = self.B, self.K, self.ring
+        m = admit_mask  # (B,) bool
+
+        # Re-derive cross K/V + bias for the admission batch, merge rows.
+        dec = self.model.apply(
+            params,
+            {"encoder_out": enc_out, "encoder_padding_mask": enc_mask,
+             "encoder_states": []},
+            T, method=self.model.decode_init,
+        )
+
+        def merge(old, new, extra_dims):
+            mm = m.reshape((self.B,) + (1,) * extra_dims)
+            return jnp.where(mm, new, old)
+
+        cross = [
+            {
+                "k": merge(o["k"], n["k"], o["k"].ndim - 1),
+                "v": merge(o["v"], n["v"], o["v"].ndim - 1),
+                "index": n["index"],
+            }
+            for o, n in zip(state["cross"], dec["cross"])
+        ]
+        cross_bias = state["cross_bias"]
+        if cross_bias is not None:
+            cross_bias = merge(cross_bias, dec["cross_bias"], cross_bias.ndim - 1)
+
+        alive_seq = jnp.where(
+            m[:, None, None],
+            jnp.full((B, K, T), self.pad, jnp.int32).at[:, :, 0].set(self.bos),
+            state["alive_seq"],
+        )
+        alive_logp0 = jnp.tile(
+            jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None], (B, 1)
+        )
+        src_T = (~enc_mask).sum(axis=1)
+        slot_max = jnp.minimum(
+            (self.max_len_a * src_T + self.max_len_b).astype(jnp.int32), T - 2
+        )
+        return {
+            **state,
+            "cross": cross,
+            "cross_bias": cross_bias,
+            "ancestry": jnp.where(m[:, None, None], 0, state["ancestry"]),
+            "local_step": jnp.where(m, 0, state["local_step"]),
+            "ring_base": jnp.where(m, jnp.mod(state["g"], T), state["ring_base"]),
+            "alive_seq": alive_seq,
+            "alive_logp": jnp.where(m[:, None], alive_logp0, state["alive_logp"]),
+            "fin_seq": jnp.where(m[:, None, None], self.pad, state["fin_seq"]),
+            "fin_scores": jnp.where(m[:, None], NEG_INF, state["fin_scores"]),
+            "fin_flags": jnp.where(m[:, None], False, state["fin_flags"]),
+            "slot_max": jnp.where(m, slot_max, state["slot_max"]),
+            "active": jnp.logical_or(m, state["active"]),
+        }
+
+    def _decode_chunk_impl(self, params, state):
+        """Run ``chunk`` decode steps; per-slot beam search semantics."""
+        B, K, V, T = self.B, self.K, self.V, self.ring
+
+        def body(_, st):
+            local = st["local_step"]  # (B,)
+            prev_tok = jnp.take_along_axis(
+                st["alive_seq"], local[:, None, None], axis=2
+            ).reshape(B * K, 1)
+            logits, st = self.model.apply(
+                params, prev_tok, st, method=self.model.serve_step
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            logp = logp.reshape(B, K, V)
+            # Force EOS for slots at their length budget (fairseq
+            # SequenceGenerator max-len semantics).
+            at_budget = (local + 1) >= st["slot_max"]  # (B,)
+            eos_only = jnp.full((V,), NEG_INF, jnp.float32).at[self.eos].set(0.0)
+            logp = jnp.where(at_budget[:, None, None], eos_only[None, None], logp)
+
+            cand = st["alive_logp"][:, :, None] + logp
+            flat = cand.reshape(B, K * V)
+            top_scores, top_idx = jax.lax.top_k(flat, 2 * K)
+            top_beam = top_idx // V
+            top_tok = top_idx % V
+
+            seq2k = jnp.take_along_axis(st["alive_seq"], top_beam[..., None], axis=1)
+            # per-slot write position local+1 (one-hot merge, (B,2K,T))
+            pos = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+            at_next = pos == (local + 1)[:, None, None]
+            seq2k = jnp.where(at_next, top_tok[..., None].astype(jnp.int32), seq2k)
+            is_eos = top_tok == self.eos
+
+            norm = _length_norm(local + 1, self.len_penalty)[:, None]
+            cand_fin_scores = jnp.where(is_eos, top_scores / norm, NEG_INF)
+            all_fin_seq = jnp.concatenate([st["fin_seq"], seq2k], axis=1)
+            all_fin_scores = jnp.concatenate([st["fin_scores"], cand_fin_scores], axis=1)
+            all_fin_flags = jnp.concatenate(
+                [st["fin_flags"], jnp.logical_and(is_eos, st["active"][:, None])], axis=1
+            )
+            new_fin_scores, fin_top = jax.lax.top_k(all_fin_scores, K)
+            new_fin_seq = jnp.take_along_axis(all_fin_seq, fin_top[..., None], axis=1)
+            new_fin_flags = jnp.take_along_axis(all_fin_flags, fin_top, axis=1)
+
+            alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
+            new_alive_logp, alive_top = jax.lax.top_k(alive_cand, K)
+            new_alive_seq = jnp.take_along_axis(seq2k, alive_top[..., None], axis=1)
+            src_beam = jnp.take_along_axis(top_beam, alive_top, axis=1)
+
+            # Ancestry update at the PHYSICAL ring position just written
+            # (g advanced inside serve_step → the row is at g-1 mod T).
+            anc = jnp.take_along_axis(st["ancestry"], src_beam[..., None], axis=1)
+            wrote = jnp.mod(st["g"] - 1, T)
+            pos_t = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+            anc = jnp.where(
+                pos_t == wrote, src_beam[..., None].astype(anc.dtype), anc
+            )
+            return {
+                **st,
+                "alive_seq": new_alive_seq,
+                "alive_logp": new_alive_logp,
+                "fin_seq": new_fin_seq,
+                "fin_scores": new_fin_scores,
+                "fin_flags": new_fin_flags,
+                "ancestry": anc,
+            }
+
+        state = jax.lax.fori_loop(0, self.chunk, body, state)
+        # Per-slot done: all K finished AND no alive hypothesis can beat
+        # the worst finished one (same improvability rule as offline).
+        best_alive = state["alive_logp"][:, 0] / _length_norm(
+            state["slot_max"], self.len_penalty
+        )
+        worst_fin = jnp.where(state["fin_flags"], state["fin_scores"], NEG_INF).min(axis=1)
+        done = jnp.logical_and(
+            state["active"],
+            jnp.logical_or(
+                jnp.logical_and(state["fin_flags"].all(axis=1), best_alive <= worst_fin),
+                state["local_step"] >= state["slot_max"] + 1,
+            ),
+        )
+        return state, done
+
+    # -- host loop -----------------------------------------------------------
+
+    def run(self, requests: Iterable[Request]) -> List[Result]:
+        queue = list(requests)
+        queue.reverse()  # pop from the end
+        results: List[Result] = []
+        state = self.init_state(self.params)
+        slot_uid: List[Optional[Any]] = [None] * self.B
+
+        feats_buf = np.zeros((self.B, self.enc_frames, 80), np.float32)
+        len_buf = np.zeros((self.B,), np.int32)
+        img_bufs = [np.zeros((self.B, t, d), np.float32) for t, d in self.img_shapes]
+        img_mask_bufs = [np.ones((self.B, t), bool) for t, d in self.img_shapes]
+
+        while queue or any(u is not None for u in slot_uid):
+            # ---- admit into free slots ----
+            admit = np.zeros((self.B,), bool)
+            for b in range(self.B):
+                if slot_uid[b] is None and queue:
+                    req = queue.pop()
+                    slot_uid[b] = req.uid
+                    admit[b] = True
+                    Tq = min(req.features.shape[0], self.enc_frames)
+                    feats_buf[b] = 0.0
+                    feats_buf[b, :Tq] = req.features[:Tq]
+                    len_buf[b] = min(req.length, self.enc_frames)
+                    for i, (t, d) in enumerate(self.img_shapes):
+                        img_bufs[i][b] = 0.0
+                        img_mask_bufs[i][b] = True
+                        if i < len(req.imgs):
+                            ti = min(req.imgs[i].shape[0], t)
+                            img_bufs[i][b, :ti] = req.imgs[i][:ti]
+                            img_mask_bufs[i][b, :ti] = (
+                                req.img_masks[i][:ti]
+                                if i < len(req.img_masks) else False
+                            )
+            if admit.any():
+                enc_out, enc_mask = self._encode(
+                    self.params, jnp.asarray(feats_buf), jnp.asarray(len_buf),
+                    tuple(jnp.asarray(x) for x in img_bufs),
+                    tuple(jnp.asarray(x) for x in img_mask_bufs),
+                )
+                state = self._admit(
+                    self.params, state, jnp.asarray(admit), enc_out, enc_mask
+                )
+
+            # ---- decode one chunk ----
+            state, done = self._decode_chunk(self.params, state)
+            done = np.asarray(done)
+            if done.any():
+                fin_seq = np.asarray(state["fin_seq"])
+                fin_scores = np.asarray(state["fin_scores"])
+                deact = jnp.asarray(done)
+                state = {
+                    **state,
+                    "active": jnp.logical_and(state["active"], ~deact),
+                    # freeze drained slots' alive set so they stop competing
+                    "alive_logp": jnp.where(
+                        deact[:, None], NEG_INF, state["alive_logp"]
+                    ),
+                }
+                for b in range(self.B):
+                    if done[b] and slot_uid[b] is not None:
+                        toks = [int(t) for t in fin_seq[b, 0]]
+                        # strip BOS, cut at EOS
+                        toks = toks[1:]
+                        if self.eos in toks:
+                            toks = toks[: toks.index(self.eos)]
+                        results.append(
+                            Result(slot_uid[b], toks, float(fin_scores[b, 0]))
+                        )
+                        slot_uid[b] = None
+        return results

@@ -294,8 +294,6 @@ class UnitDecoder(nn.Module):
         state: DecoderState,
     ) -> Tuple[jnp.ndarray, DecoderState]:
         """One decode step → ((B, V) logits, updated state)."""
-        x = self.embed(prev_token) * self.embed_scale
-        x = self.pos(x, offset=state["step"])
         step_idx = state["step"]
         kv = state["self_kv"]
         ancestry = state.get("ancestry")
@@ -313,6 +311,73 @@ class UnitDecoder(nn.Module):
             flat_rep = jnp.repeat(flat_idx, S_, axis=2)  # (B, K, T·S)
         else:
             flat_rep = None
+        S_ = prev_token.shape[0] // kv.shape[0]
+        logits, kv = self._step_core(
+            prev_token, state, state["step"], flat_rep, step_idx * S_, step_idx
+        )
+        new_state = {**state, "step": step_idx + 1, "self_kv": kv}
+        return logits, new_state
+
+    def serve_step(
+        self,
+        prev_token: jnp.ndarray,  # (B·K, 1)
+        state: DecoderState,
+    ) -> Tuple[jnp.ndarray, DecoderState]:
+        """Continuous-batching decode step (infer/serving.py).
+
+        Unlike :meth:`step`, co-scheduled utterances sit at DIFFERENT time
+        positions: the cache's flattened (t·S) axis is a RING indexed by
+        the shared global counter ``g`` (every active slot writes its new
+        rows at physical ring position g mod T_ring — one aligned in-place
+        DUS, same as offline decode), while each slot's logical time is
+        its own ``local_step``. Validity and beam ancestry are resolved
+        entirely through ``flat_rep``: physical ring slot tp holds a live
+        row of batch b iff (tp - ring_base[b]) mod T_ring < local_step[b],
+        where ring_base is the value of g when b's utterance was admitted.
+        Positional embeddings use the per-slot local step.
+        """
+        kv = state["self_kv"]
+        ancestry = state["ancestry"]  # (B, K, T_ring) PHYSICAL positions
+        B_, K_, T_ = ancestry.shape
+        S_ = kv.shape[3] // T_
+        g = state["g"]
+        local_step = state["local_step"]  # (B,)
+        ring_base = state["ring_base"]  # (B,)
+        tp = jnp.arange(T_, dtype=jnp.int32)[None, :]
+        age = jnp.mod(tp - ring_base[:, None], T_)  # (B, T_ring)
+        valid = age < local_step[:, None]
+        flat_idx = jnp.where(
+            valid[:, None, :], tp[None] * S_ + ancestry.astype(jnp.int32), -1
+        )  # (B, K, T_ring)
+        flat_rep = jnp.repeat(flat_idx, S_, axis=2)
+        pos_offset = jnp.repeat(local_step, S_)  # (B·K,)
+        write_pos = jnp.mod(g, T_) * S_
+        logits, kv = self._step_core(
+            prev_token, state, pos_offset, flat_rep, write_pos, None
+        )
+        new_state = {
+            **state,
+            "self_kv": kv,
+            "g": g + 1,
+            "local_step": jnp.minimum(local_step + 1, T_ - 1),
+        }
+        return logits, new_state
+
+    def _step_core(
+        self,
+        prev_token: jnp.ndarray,
+        state: DecoderState,
+        pos_offset,
+        flat_rep: Optional[jnp.ndarray],
+        write_pos,
+        plain_step_idx,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Shared decode-step body: embed → layers → logits → cache write.
+        Returns (logits (N, V), updated self_kv)."""
+        kv = state["self_kv"]
+        step_idx = plain_step_idx
+        x = self.embed(prev_token) * self.embed_scale
+        x = self.pos(x, offset=pos_offset)
         new_ks, new_vs = [], []
         for i, layer in enumerate(self.layers):
             # Self-attention (pre/post-norm per layer config).
@@ -362,13 +427,8 @@ class UnitDecoder(nn.Module):
         new_rows = jnp.concatenate(
             [to_rows(new_ks), to_rows(new_vs)], axis=-1
         )  # (B, nL, H, S, 2·Dh)
-        kv = jax.lax.dynamic_update_slice_in_dim(
-            kv, new_rows, step_idx * S_, axis=3
-        )
-        # Carry everything else (incl. the beam-search ancestry table, which
-        # the search itself rewrites after candidate selection) unchanged.
-        new_state = {**state, "step": step_idx + 1, "self_kv": kv}
-        return logits, new_state
+        kv = jax.lax.dynamic_update_slice_in_dim(kv, new_rows, write_pos, axis=3)
+        return logits, kv
 
 
 class CTCHead(nn.Module):

@@ -83,20 +83,27 @@ class SinusoidalPositionalEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, offset: jnp.ndarray | int = 0) -> jnp.ndarray:
-        """x: (B, T, D). offset: scalar start position (decode step)."""
+        """x: (B, T, D). offset: scalar start position (decode step), or a
+        (B,) vector of per-row positions (continuous-batching decode,
+        where co-scheduled utterances sit at different time steps)."""
         t = x.shape[1]
         half = self.dim // 2
         emb = math.log(10000.0) / (half - 1)
         freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
         # Fairseq convention: positions start at padding_idx + 1 = 2.
         pos = jnp.arange(t, dtype=jnp.float32) + 2.0
-        if not (isinstance(offset, int) and offset == 0):
+        vector_offset = getattr(offset, "ndim", 0) == 1
+        if vector_offset:
+            pos = pos[None, :] + jnp.asarray(offset, jnp.float32)[:, None]
+        elif not (isinstance(offset, int) and offset == 0):
             pos = pos + jnp.asarray(offset, jnp.float32)
-        args = pos[:, None] * freqs[None, :]
-        pe = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+        args = pos[..., None] * freqs[None, :]
+        pe = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
         if self.dim % 2:
-            pe = jnp.pad(pe, ((0, 0), (0, 1)))
-        return x + pe[None].astype(self.dtype)
+            pe = jnp.pad(pe, [(0, 0)] * (pe.ndim - 1) + [(0, 1)])
+        if not vector_offset:
+            pe = pe[None]
+        return x + pe.astype(self.dtype)
 
 
 class MultiHeadAttention(nn.Module):

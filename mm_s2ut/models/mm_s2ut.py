@@ -480,6 +480,10 @@ class MMS2UTModel(nn.Module):
     def decode_step(self, prev_token: jnp.ndarray, state):
         return self.decoder.step(prev_token, state)
 
+    def serve_step(self, prev_token: jnp.ndarray, state):
+        """Continuous-batching decode step (infer/serving.py)."""
+        return self.decoder.serve_step(prev_token, state)
+
 
 @registry.register_model_architecture("mm_s2ut_transformer", "mm_s2ut_transformer")
 def mm_s2ut_architecture_base(cfg: ModelConfig) -> ModelConfig:

@@ -21,9 +21,15 @@ class MetricsAggregator:
     def __init__(self):
         self.sums: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
-        self._t0 = time.time()
+        self._t0: Optional[float] = None  # first update() in the window
 
     def update(self, metrics: Dict[str, float]) -> None:
+        # Rate windows start at the first update after a flush, so
+        # *_per_sec excludes compile/eval/checkpoint gaps between windows
+        # (a flush-to-flush clock silently deflates the rate after any
+        # pause — the metric would promise throughput it didn't measure).
+        if self._t0 is None:
+            self._t0 = time.time()
         for k, v in metrics.items():
             self.sums[k] += float(v)
             self.counts[k] += 1
@@ -33,7 +39,7 @@ class MetricsAggregator:
         normalizer sum; rate keys divide by elapsed wall time."""
         out: Dict[str, float] = {}
         denom = max(self.sums.get(normalize_by, 0.0), 1.0) if normalize_by else 1.0
-        elapsed = max(time.time() - self._t0, 1e-9)
+        elapsed = max(time.time() - (self._t0 or time.time()), 1e-9)
         for k, v in self.sums.items():
             if k in ("ntokens", "nsentences"):
                 out[k] = v
@@ -44,7 +50,7 @@ class MetricsAggregator:
                 out[k] = v / denom
         self.sums.clear()
         self.counts.clear()
-        self._t0 = time.time()
+        self._t0 = None
         return out
 
 

@@ -57,16 +57,20 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
     idx = 0
     for split, n in splits.items():
         rows = []
+        (root / split).mkdir(exist_ok=True)
         np.save(feat_dir / f"{split}.npy", rng.randn(n, 6, 16).astype(np.float32))
         for j in range(n):
             idx += 1
             length = sr // 3 + (idx % 5) * sr // 10
             wav = (0.3 * rng.randn(length)).astype(np.float32)
-            write_wav(root / f"{idx}.wav", wav, sr)
+            # Image lookup keys on filename stem − 1 *within the split*
+            # (reference quirk, speech_to_speech_dataset.py:318-321), so
+            # wav numbering restarts per split.
+            write_wav(root / split / f"{j + 1}.wav", wav, sr)
             units = rng.randint(0, N_UNITS, 8 + idx % 6)
             all_units[(split, j)] = units
             rows.append(ManifestRow(
-                str(j), f"{idx}.wav", length,
+                str(j), f"{split}/{j + 1}.wav", length,
                 " ".join(map(str, units)), len(units),
             ))
         write_manifest(root / f"{split}.tsv", rows)

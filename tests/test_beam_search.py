@@ -27,6 +27,10 @@ def brute_force(dec, params, enc_out, enc_mask, K, max_len, lenpen=1.0):
         for toks, s in alive:
             full = dec.apply(params, jnp.asarray([toks]), enc_out, enc_mask)
             logp = np.asarray(jax.nn.log_softmax(full[0, -1].astype(jnp.float32)))
+            if step + 1 >= max_len:  # fairseq: budget forces EOS
+                for v in range(V):
+                    cands.append((toks + [v], s + (0.0 if v == EOS else -1e7)))
+                continue
             for v in range(V):
                 cands.append((toks + [v], s + float(logp[v])))
         cands.sort(key=lambda x: -x[1])

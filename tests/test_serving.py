@@ -1,0 +1,104 @@
+"""Continuous-batching server vs offline beam search: per-utterance
+results must be identical (chunking/slot-sharing/ring reuse change
+scheduling, not math)."""
+import pytest
+
+pytestmark = pytest.mark.slow
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mm_s2ut.config import ModelConfig, MultimodalConfig
+from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
+from mm_s2ut.infer.serving import ContinuousServer, Request
+from mm_s2ut.models.mm_s2ut import MMS2UTModel
+
+V, EOS, BOS, PAD = 40, 2, 2, 1
+K, MAX_LEN = 2, 12
+
+
+def _model():
+    cfg = ModelConfig(
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        encoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, decoder_layers=2,
+        decoder_attention_heads=2, conv_channels=16, vocab_size=V,
+        dtype="float32",
+        multimodal=MultimodalConfig(multimodal_attention_type=None),
+    )
+    model = MMS2UTModel(cfg)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(1, 32, 80), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(7), feats, jnp.full((1,), 32, jnp.int32),
+        jnp.zeros((1, 3), jnp.int32),
+    )
+    return model, params
+
+
+def _offline(model, params, feats, length, enc_frames=64):
+    """Offline reference: single-utterance padded encode + beam search."""
+    f = np.zeros((1, enc_frames, 80), np.float32)
+    f[0, : feats.shape[0]] = feats
+    enc = model.apply(
+        params, jnp.asarray(f), jnp.asarray([length], np.int32), (), (), None,
+        deterministic=True, method=model.encode,
+    )
+    state = model.apply(params, enc, MAX_LEN + 1, method=model.decode_init)
+    state = tile_state_for_beams(state, K)
+    seqs, scores = beam_search(
+        lambda t, s: model.apply(params, t, s, method=model.decode_step),
+        state, 1, beam_size=K, max_len=MAX_LEN,
+        eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+    )
+    toks = [int(t) for t in np.asarray(seqs)[0, 0]]
+    if EOS in toks:
+        toks = toks[: toks.index(EOS)]
+    return toks, float(scores[0, 0])
+
+
+def test_server_matches_offline_beam_search():
+    model, params = _model()
+    rng = np.random.RandomState(3)
+    n_req = 5
+    reqs = []
+    for i in range(n_req):
+        T = 24 + 8 * (i % 3)
+        reqs.append(Request(uid=i, features=rng.randn(T, 80).astype(np.float32), length=T))
+
+    srv = ContinuousServer(
+        model, params, slots=2, beam_size=K, ring=32, chunk=5,
+        enc_frames=64, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        max_len_a=0.0, max_len_b=MAX_LEN,
+    )
+    results = {r.uid: r for r in srv.run(reqs)}
+    assert set(results) == set(range(n_req))
+
+    for req in reqs:
+        want_toks, want_score = _offline(model, params, req.features, req.length)
+        got = results[req.uid]
+        assert got.tokens == want_toks, (req.uid, got.tokens, want_toks)
+        np.testing.assert_allclose(got.score, want_score, atol=1e-4)
+
+
+def test_server_slot_reuse_exceeds_ring():
+    """Enough sequential admissions that ring positions wrap several times."""
+    model, params = _model()
+    rng = np.random.RandomState(5)
+    reqs = [
+        Request(uid=i, features=rng.randn(24, 80).astype(np.float32), length=24)
+        for i in range(7)
+    ]
+    srv = ContinuousServer(
+        model, params, slots=1, beam_size=K, ring=16, chunk=4,
+        enc_frames=64, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        max_len_a=0.0, max_len_b=MAX_LEN,
+    )
+    results = {r.uid: r for r in srv.run(reqs)}
+    assert len(results) == 7
+    for req in reqs:
+        want_toks, want_score = _offline(model, params, req.features, req.length)
+        got = results[req.uid]
+        assert got.tokens == want_toks
+        np.testing.assert_allclose(got.score, want_score, atol=1e-4)
