@@ -270,7 +270,14 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--asr-steps", type=int, default=800)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force jax onto CPU (reproducible anywhere; the "
+                    "models here are tiny)")
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     root = Path(args.root)
     rng = np.random.RandomState(0)
 
