@@ -62,7 +62,17 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
         for j in range(n):
             idx += 1
             length = sr // 3 + (idx % 5) * sr // 10
-            wav = (0.3 * rng.randn(length)).astype(np.float32)
+            # DTMF-style per-utterance tone signature: two base-8 digit
+            # positions with disjoint frequency banks → cleanly separable
+            # fbank patterns the tiny encoder can fingerprint fast (white
+            # noise alone memorizes far too slowly for an acceptance run).
+            t = np.arange(length) / sr
+            d0, d1 = idx % 8, (idx // 8) % 8
+            wav = (
+                0.30 * np.sin(2 * np.pi * (300 + 70 * d0) * t)
+                + 0.30 * np.sin(2 * np.pi * (1100 + 90 * d1) * t)
+                + 0.05 * rng.randn(length)
+            ).astype(np.float32)
             # Image lookup keys on filename stem − 1 *within the split*
             # (reference quirk, speech_to_speech_dataset.py:318-321), so
             # wav numbering restarts per split.
@@ -94,7 +104,10 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
         ),
         data=DataConfig(
             data_root=str(root), audio_root=str(root),
-            target_code_size=N_UNITS, max_tokens=1200, num_buckets=1,
+            # max_tokens counts SOURCE POSITIONS of the manifest (raw
+            # samples for waveform input, like fairseq): ~12k samples per
+            # utterance → batch ≈ 16.
+            target_code_size=N_UNITS, max_tokens=200_000, num_buckets=1,
         ),
         train=TrainConfig(
             update_freq=1, warmup_updates=50, lr=2e-3, seed=3,
