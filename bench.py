@@ -105,7 +105,10 @@ def main():
     from mm_s2ut.ops.fbank import FbankConfig, batched_log_mel_fbank
 
     SECONDS, SR = 10, 16000
-    B = int(os.environ.get("MM_BENCH_BATCH", "8"))
+    # Default operating point: batch 32 (the throughput-optimal static
+    # batch measured on v5e; fairseq's max-tokens 8000 ≈ batch 8 — see
+    # extra.batch in the emitted record, and override via env).
+    B = int(os.environ.get("MM_BENCH_BATCH", "32"))
     BEAM = int(os.environ.get("MM_BENCH_BEAM", "5"))
     MAX_LEN = 200
     N1, N2 = 2, 10
