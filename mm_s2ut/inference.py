@@ -117,6 +117,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--vocoder_path", help="CodeHiFiGAN checkpoint (.pt)")
     ap.add_argument("--vocoder_cfg", help="CodeHiFiGAN config.json")
     ap.add_argument("--gen_subset", default="test", help="batch output naming")
+    ap.add_argument(
+        "--continuous-batching", action="store_true",
+        help="batch mode: continuous-batching decode (slot pool refilled "
+        "as utterances finish; results identical to static batching)",
+    )
+    ap.add_argument("--slots", type=int, default=8,
+                    help="continuous-batching slot count")
     args = ap.parse_args(argv)
 
     if not args.audio_path and not args.manifest_file:
@@ -184,10 +191,50 @@ def main(argv: Optional[List[str]] = None) -> int:
             names.append(Path(row.src_audio).stem)
             sample_ids.append(i)
             targets.append(tgt_dict.encode_line(row.tgt_text, append_eos=False).tolist())
-        hypos = []
-        B = 8
-        for i in range(0, len(wavs), B):
-            hypos.extend(decode_batch(wavs[i : i + B], None))
+        if args.continuous_batching:
+            import jax
+
+            from mm_s2ut.infer.serving import ContinuousServer, Request
+
+            g = cfg.generation
+            enc_frames = max(
+                int(np.ceil(max(len(w) for w in wavs) / fbank_cfg.frame_shift)) + 8,
+                64,
+            )
+            # Ring sized to the worst-case per-slot budget a·src_T + b
+            # (src_T = encoder positions after 4× conv subsampling); slots
+            # with longer nominal budgets are clamped to ring-2 at admit.
+            max_len_cap = min(
+                int(g.max_len_a * (enc_frames // 4) + g.max_len_b) + 2,
+                cfg.model.max_target_positions - 1,
+            )
+            srv = ContinuousServer(
+                model, params, slots=args.slots, beam_size=g.beam,
+                ring=int(2 ** np.ceil(np.log2(max(max_len_cap, g.max_len_b + 2)))),
+                enc_frames=enc_frames,
+                vocab_size=cfg.model.vocab_size,
+                len_penalty=g.len_penalty,
+                max_len_a=g.max_len_a, max_len_b=g.max_len_b,
+            )
+            reqs = []
+            for i, w in enumerate(wavs):
+                feats, flens = waveform_frontend(
+                    jnp.asarray(w[None]), jnp.asarray([len(w)], np.int32),
+                    fbank_cfg, cfg.data.standardize_audio,
+                )
+                reqs.append(Request(
+                    uid=i, features=np.asarray(feats[0]), length=int(flens[0])
+                ))
+            by_uid = {r.uid: r for r in srv.run(reqs)}
+            hypos = [
+                [{"tokens": by_uid[i].tokens, "score": by_uid[i].score}]
+                for i in range(len(wavs))
+            ]
+        else:
+            hypos = []
+            B = 8
+            for i in range(0, len(wavs), B):
+                hypos.extend(decode_batch(wavs[i : i + B], None))
 
     # ---- emit units (+ fairseq-format txt) ----
     unit_lines = []

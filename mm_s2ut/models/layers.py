@@ -421,6 +421,13 @@ class Conv1dSubsampler(nn.Module):
             )(x)
             x = jax.nn.glu(x, axis=-1)
             lengths = (lengths - 1) // 2 + 1
+            # Zero padded frames between conv layers: the conv BIAS makes
+            # them nonzero, and the next conv's kernel reads them near the
+            # valid/pad boundary — without this, encoder outputs depend on
+            # how far the batch was padded (breaks pad-length invariance
+            # and batch-composition reproducibility).
+            valid = jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+            x = x * valid[..., None].astype(x.dtype)
         return x, lengths
 
 

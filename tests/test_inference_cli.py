@@ -137,3 +137,29 @@ def test_task_load_sample(trained_ckpt, tmp_path):
     sample = task.load_sample(str(root / "1.wav"), str(tmp_path / "img.npy"))
     assert sample["src_features"].shape[-1] == 80
     assert sample["imgs_list"][0].shape == (1, 5, 8)
+
+
+def test_batch_inference_continuous_batching_identical(trained_ckpt, tmp_path):
+    """--continuous-batching must reproduce the static-batch outputs
+    (serving changes scheduling, not math)."""
+    from mm_s2ut.inference import main
+
+    root, cfg = trained_ckpt
+    out_a = tmp_path / "static"
+    out_b = tmp_path / "serving"
+    for out, extra in ((out_a, []), (out_b, ["--continuous-batching", "--slots", "2"])):
+        rc = main([
+            "--model_path", str(root / "ckpt"),
+            "--manifest_file", str(root / "test.tsv"),
+            "--output_dir", str(out),
+            *extra,
+        ])
+        assert rc == 0
+
+    def d_lines(p):
+        return sorted(
+            l for l in (p / "generate-test.txt").read_text().splitlines()
+            if l.startswith("D-")
+        )
+
+    assert d_lines(out_a) == d_lines(out_b)
