@@ -102,3 +102,65 @@ def test_server_slot_reuse_exceeds_ring():
         got = results[req.uid]
         assert got.tokens == want_toks
         np.testing.assert_allclose(got.score, want_score, atol=1e-4)
+
+
+def test_server_with_image_fusion_matches_offline():
+    cfg = ModelConfig(
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        encoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, decoder_layers=1,
+        decoder_attention_heads=2, conv_channels=16, vocab_size=V,
+        dtype="float32",
+        multimodal=MultimodalConfig(
+            image_feat_dim=[16],
+            multimodal_attention_type="selective_attention",
+        ),
+    )
+    model = MMS2UTModel(cfg)
+    rng = np.random.RandomState(0)
+    feats1 = jnp.asarray(rng.randn(1, 32, 80), jnp.float32)
+    img1 = jnp.asarray(rng.randn(1, 6, 16), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(7), feats1, jnp.full((1,), 32, jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), imgs_list=(img1,),
+        img_masks_list=(jnp.zeros((1, 6), bool),),
+    )
+
+    reqs = []
+    for i in range(3):
+        T = 24 + 8 * (i % 2)
+        reqs.append(Request(
+            uid=i, features=rng.randn(T, 80).astype(np.float32), length=T,
+            imgs=(rng.randn(6, 16).astype(np.float32),),
+            img_masks=(np.zeros(6, bool),),
+        ))
+    srv = ContinuousServer(
+        model, params, slots=2, beam_size=K, ring=32, chunk=4,
+        enc_frames=64, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        max_len_a=0.0, max_len_b=MAX_LEN,
+        n_img_sources=1, img_shapes=((6, 16),),
+    )
+    results = {r.uid: r for r in srv.run(reqs)}
+
+    for req in reqs:
+        f = np.zeros((1, 64, 80), np.float32)
+        f[0, : req.features.shape[0]] = req.features
+        enc = model.apply(
+            params, jnp.asarray(f), jnp.asarray([req.length], np.int32),
+            (jnp.asarray(req.imgs[0][None]),),
+            (jnp.asarray(req.img_masks[0][None]),), None,
+            deterministic=True, method=model.encode,
+        )
+        state = model.apply(params, enc, MAX_LEN + 1, method=model.decode_init)
+        state = tile_state_for_beams(state, K)
+        seqs, scores = beam_search(
+            lambda t, s: model.apply(params, t, s, method=model.decode_step),
+            state, 1, beam_size=K, max_len=MAX_LEN,
+            eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        )
+        toks = [int(t) for t in np.asarray(seqs)[0, 0]]
+        if EOS in toks:
+            toks = toks[: toks.index(EOS)]
+        got = results[req.uid]
+        assert got.tokens == toks, (req.uid, got.tokens, toks)
+        np.testing.assert_allclose(got.score, float(scores[0, 0]), atol=1e-4)
