@@ -52,36 +52,56 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
     feat_dir = root / "img_feat"
     feat_dir.mkdir(exist_ok=True)
     sr = 16000
-    splits = {"train": n_train, "valid": n_eval, "test": n_eval}
     all_units = {}
-    idx = 0
-    for split, n in splits.items():
-        rows = []
+    train_feats = rng.randn(n_train, 6, 16).astype(np.float32)
+    np.save(feat_dir / "train.npy", train_feats)
+    (root / "train").mkdir(exist_ok=True)
+    train_rows = []
+    for j in range(n_train):
+        idx = j + 1
+        length = sr // 3 + (idx % 5) * sr // 10
+        # DTMF-style per-utterance tone signature: two base-8 digit
+        # positions with disjoint frequency banks → cleanly separable
+        # fbank patterns the tiny encoder can fingerprint fast (white
+        # noise alone memorizes far too slowly for an acceptance run).
+        t = np.arange(length) / sr
+        d0, d1 = idx % 8, (idx // 8) % 8
+        wav = (
+            0.30 * np.sin(2 * np.pi * (300 + 70 * d0) * t)
+            + 0.30 * np.sin(2 * np.pi * (1100 + 90 * d1) * t)
+            + 0.05 * rng.randn(length)
+        ).astype(np.float32)
+        # Image lookup keys on filename stem − 1 *within the split*
+        # (reference quirk, speech_to_speech_dataset.py:318-321), so wav
+        # numbering restarts per split.
+        write_wav(root / "train" / f"{idx}.wav", wav, sr)
+        units = rng.randint(0, N_UNITS, 8 + idx % 6)
+        all_units[("train", j)] = units
+        train_rows.append(ManifestRow(
+            str(j), f"train/{idx}.wav", length,
+            " ".join(map(str, units)), len(units),
+        ))
+    write_manifest(root / "train.tsv", train_rows)
+
+    # Eval splits reuse train pairs: the training objective is pure
+    # memorization of random (tone-code → unit-sequence) mappings, which
+    # by construction cannot generalize to fresh random pairs — the
+    # acceptance target here is the full measurement CHAIN (beam decode →
+    # unit extraction → vocoder → ASR → BLEU) producing the high score a
+    # memorized model should earn, with every stage real.
+    for split, n in (("valid", n_eval), ("test", n_eval)):
         (root / split).mkdir(exist_ok=True)
-        np.save(feat_dir / f"{split}.npy", rng.randn(n, 6, 16).astype(np.float32))
+        np.save(feat_dir / f"{split}.npy", train_feats[:n])
+        rows = []
         for j in range(n):
-            idx += 1
-            length = sr // 3 + (idx % 5) * sr // 10
-            # DTMF-style per-utterance tone signature: two base-8 digit
-            # positions with disjoint frequency banks → cleanly separable
-            # fbank patterns the tiny encoder can fingerprint fast (white
-            # noise alone memorizes far too slowly for an acceptance run).
-            t = np.arange(length) / sr
-            d0, d1 = idx % 8, (idx // 8) % 8
-            wav = (
-                0.30 * np.sin(2 * np.pi * (300 + 70 * d0) * t)
-                + 0.30 * np.sin(2 * np.pi * (1100 + 90 * d1) * t)
-                + 0.05 * rng.randn(length)
-            ).astype(np.float32)
-            # Image lookup keys on filename stem − 1 *within the split*
-            # (reference quirk, speech_to_speech_dataset.py:318-321), so
-            # wav numbering restarts per split.
-            write_wav(root / split / f"{j + 1}.wav", wav, sr)
-            units = rng.randint(0, N_UNITS, 8 + idx % 6)
-            all_units[(split, j)] = units
+            src = root / "train" / f"{j + 1}.wav"
+            dst = root / split / f"{j + 1}.wav"
+            dst.write_bytes(src.read_bytes())
+            all_units[(split, j)] = all_units[("train", j)]
+            tr = train_rows[j]
             rows.append(ManifestRow(
-                str(j), f"{split}/{j + 1}.wav", length,
-                " ".join(map(str, units)), len(units),
+                str(j), f"{split}/{j + 1}.wav", tr.src_n_frames,
+                tr.tgt_text, tr.tgt_n_frames,
             ))
         write_manifest(root / f"{split}.tsv", rows)
 
@@ -282,7 +302,10 @@ def main(argv=None):
     ap.add_argument("--root", default="/tmp/parity_run")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--asr-steps", type=int, default=800)
-    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse an existing S2UT checkpoint in --root")
+    ap.add_argument("--skip-asr", action="store_true",
+                    help="reuse an existing trained ASR dir in --root")
     ap.add_argument("--cpu", action="store_true",
                     help="force jax onto CPU (reproducible anywhere; the "
                     "models here are tiny)")
@@ -305,6 +328,7 @@ def main(argv=None):
         train_main(["--config", str(root / "run.yaml"),
                     f"train.max_update={args.steps}"])
 
+    if not args.skip_asr:
         print("== train ASR ==", flush=True)
         train_asr(root, rng, steps=args.asr_steps)
 
