@@ -48,39 +48,44 @@ NEG_INF = -1e9
 
 
 def _kernel(flat_ref, q_ref, kn_ref, vn_ref, kv_ref, o_ref):
-    # Blocks (None grid dims squeezed by BlockSpec):
+    # Blocks (None grid dims squeezed by BlockSpec); grid is (B,) — all
+    # heads of one (batch, layer) are processed by one program so each
+    # grid step issues ONE ~2 MB DMA instead of H small ones (measured
+    # 2× read-bandwidth at B=32 vs the per-head grid):
     #   flat (K, T·S) int32 — per key column j=(t·S+s): j if (t, s) is on
     #   beam k's ancestry path and t < step, else -1 (precomputed on the
     #   XLA side once per step, shared across layers/heads)
-    #   q / kn / vn (K, Dh); kv (T·S, 2·Dh) — this layer+head's
+    #   q / kn / vn (H, K, Dh); kv (H, T·S, 2·Dh) — this layer's
     #   interleaved K‖V slab, selected straight out of the decode cache
     #   by the BlockSpec index map (no XLA-side slice, which would copy
-    #   the cache); o (K, Dh)
-    q = q_ref[...]  # (K, Dh)
-    K, Dh = q.shape
-    kv = kv_ref[...]  # (T·S, 2·Dh)
-    k2 = kv[:, :Dh]
-    v2 = kv[:, Dh:]
-    TS = k2.shape[0]
-    scores = jax.lax.dot_general(
-        q, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (K, T·S)
+    #   the cache); o (H, K, Dh)
+    H, K, Dh = q_ref.shape
     flat_rep = flat_ref[...]  # (K, T·S)
+    TS = flat_rep.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (K, TS), 1)
-    scores = jnp.where(flat_rep == col, scores, NEG_INF)
-    kn = kn_ref[...]
-    vn = vn_ref[...]
-    self_logit = jnp.sum(
-        q.astype(jnp.float32) * kn.astype(jnp.float32), axis=1, keepdims=True
-    )  # (K, 1)
-    m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), self_logit)
-    p = jnp.exp(scores - m)
-    p_self = jnp.exp(self_logit - m)
-    denom = jnp.sum(p, axis=1, keepdims=True) + p_self
-    w = (p / denom).astype(v2.dtype)
-    out = jnp.dot(w, v2, preferred_element_type=jnp.float32)
-    out = out + (p_self / denom) * vn.astype(jnp.float32)
-    o_ref[...] = out.astype(o_ref.dtype)
+    on_path = flat_rep == col
+    for h in range(H):  # static unroll over heads (VMEM-resident slab)
+        q = q_ref[h]  # (K, Dh)
+        kv = kv_ref[h]  # (T·S, 2·Dh)
+        k2 = kv[:, :Dh]
+        v2 = kv[:, Dh:]
+        scores = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (K, T·S)
+        scores = jnp.where(on_path, scores, NEG_INF)
+        kn = kn_ref[h]
+        vn = vn_ref[h]
+        self_logit = jnp.sum(
+            q.astype(jnp.float32) * kn.astype(jnp.float32), axis=1, keepdims=True
+        )  # (K, 1)
+        m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), self_logit)
+        p = jnp.exp(scores - m)
+        p_self = jnp.exp(self_logit - m)
+        denom = jnp.sum(p, axis=1, keepdims=True) + p_self
+        w = (p / denom).astype(v2.dtype)
+        out = jnp.dot(w, v2, preferred_element_type=jnp.float32)
+        out = out + (p_self / denom) * vn.astype(jnp.float32)
+        o_ref[h] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("layer", "interpret"))
@@ -101,21 +106,21 @@ def ancestry_decode_attention(
     as expensive as the physical reorder this kernel removes) happens."""
     B, H, K, Dh = q.shape
     TS = kv.shape[3]
-    grid = (B, H)
+    grid = (B,)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, K, TS), lambda b, h: (b, 0, 0)),
-            pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((None, K, TS), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec(
-                (None, None, None, TS, 2 * Dh),
-                lambda b, h: (b, layer, h, 0, 0),
+                (None, None, H, TS, 2 * Dh),
+                lambda b: (b, layer, 0, 0, 0),
             ),
         ],
-        out_specs=pl.BlockSpec((None, None, K, Dh), lambda b, h: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
         interpret=interpret,
     )(flat_rep.astype(jnp.int32), q, k_new, v_new, kv)
@@ -124,8 +129,18 @@ def ancestry_decode_attention(
 
 def supported(kv: jnp.ndarray) -> bool:
     """Pallas path: real TPU only (tests exercise the kernel in
-    interpreter mode; CPU/GPU fall back to the XLA formulation)."""
-    return jax.devices()[0].platform not in ("cpu", "gpu")
+    interpreter mode; CPU/GPU fall back to the XLA formulation), and only
+    when one (H, T·S, 2·Dh) layer slab plus the flat index row fits VMEM
+    with double buffering — very long decode budgets (the fairseq
+    max-target-positions clamp is 3000) or fp32 small models fall back to
+    the XLA formulation rather than OOMing scoped VMEM at compile time."""
+    if jax.devices()[0].platform in ("cpu", "gpu"):
+        return False
+    H, TS, lanes = kv.shape[2], kv.shape[3], kv.shape[4]
+    itemsize = jnp.dtype(kv.dtype).itemsize
+    slab = H * TS * lanes * itemsize
+    flat = TS * 4 * 2  # int32 flat_rep row per beam (K small)
+    return 2 * (slab + 8 * flat) < 12 * 2**20
 
 
 def reference(

@@ -123,11 +123,15 @@ class MultiModalSpeechToSpeechTask:
         ds = self.load_dataset(split)
         data = self.cfg.data
         shuffle = ds.is_train if shuffle is None else shuffle
-        # max_tokens is in fbank frames (reference convention); waveform
-        # samples = frames * frame_shift.
+        # max_tokens counts FBANK FRAMES (the reference textless
+        # convention: --max-tokens 8000 ≈ 8 × ~1000-frame utterances).
+        # Manifest src_n_frames counts SAMPLES for waveform input
+        # (wav2vec_manifest convention, reference preprocess/2_manifest.sh),
+        # so the frames budget converts to a samples budget by the frame
+        # shift; src pad lengths stay in samples for waveform collation.
         shift = self.fbank_cfg.frame_shift
         batcher = LengthBucketBatcher(
-            [ds.num_frames(i) * shift for i in range(len(ds))],
+            [ds.num_frames(i) for i in range(len(ds))],
             [ds.num_target_frames(i) + 2 for i in range(len(ds))],
             max_tokens=data.max_tokens * shift,
             num_buckets=data.num_buckets,

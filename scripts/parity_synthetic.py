@@ -124,10 +124,8 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
         ),
         data=DataConfig(
             data_root=str(root), audio_root=str(root),
-            # max_tokens counts SOURCE POSITIONS of the manifest (raw
-            # samples for waveform input, like fairseq): ~12k samples per
-            # utterance → batch ≈ 16.
-            target_code_size=N_UNITS, max_tokens=200_000, num_buckets=1,
+            # max_tokens counts fbank frames (~70/utt here) → batch ≈ 17.
+            target_code_size=N_UNITS, max_tokens=1200, num_buckets=1,
         ),
         train=TrainConfig(
             update_freq=1, warmup_updates=50, lr=2e-3, seed=3,
