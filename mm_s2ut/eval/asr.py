@@ -37,6 +37,7 @@ class CTCTranscriber:
 
     def __init__(self, model_dir: str, dtype: str = "float32"):
         import jax
+        import jax.numpy as jnp
 
         from mm_s2ut.models.wav2vec2 import Wav2Vec2ForCTC, load_hf_checkpoint
 
@@ -45,10 +46,29 @@ class CTCTranscriber:
         self.id2tok = load_ctc_vocab(model_dir)
         self.pad_tok = "<pad>"
         self.delim = "|"
+        # Zero-mean/unit-variance input normalization: the reference's
+        # transcript path goes through Wav2Vec2Processor
+        # (scripts/transcript.py:16-37), whose feature extractor has
+        # do_normalize=True for wav2vec2-CTC checkpoints. Honour the
+        # checkpoint's preprocessor_config.json; default True.
+        self.do_normalize = True
+        pp = Path(model_dir) / "preprocessor_config.json"
+        if pp.exists():
+            self.do_normalize = bool(
+                json.loads(pp.read_text()).get("do_normalize", True)
+            )
 
-        self._forward = jax.jit(
-            lambda v, wav, lens: self.model.apply(v, wav, lens)["logits"]
-        )
+        def forward(v, wav, lens):
+            if self.do_normalize:
+                T = wav.shape[1]
+                valid = (jnp.arange(T)[None, :] < lens[:, None]).astype(wav.dtype)
+                n = jnp.maximum(lens.astype(wav.dtype), 1.0)[:, None]
+                mean = (wav * valid).sum(1, keepdims=True) / n
+                var = (((wav - mean) * valid) ** 2).sum(1, keepdims=True) / n
+                wav = (wav - mean) * jax.lax.rsqrt(var + 1e-7) * valid
+            return self.model.apply(v, wav, lens)["logits"]
+
+        self._forward = jax.jit(forward)
 
     def transcribe_batch(
         self, waveforms: np.ndarray, lengths: np.ndarray

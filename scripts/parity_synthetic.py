@@ -107,7 +107,7 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
 
     refs = root / "refs"
     refs.mkdir(exist_ok=True)
-    for split, n in splits.items():
+    for split, n in (("train", n_train), ("valid", n_eval), ("test", n_eval)):
         lines = [units_to_text(all_units[(split, j)]) for j in range(n)]
         (refs / f"{split}.txt").write_text("\n".join(lines) + "\n")
 
@@ -223,19 +223,49 @@ def train_asr(root: Path, rng, steps=800):
     from transformers import Wav2Vec2Config as HFConfig
     from transformers import Wav2Vec2ForCTC as HFModel
 
+    # One CTC symbol per unit-word (multi-char vocab entries are the HF
+    # convention for word-piece CTC): a unit's 160-sample texture emits
+    # its word symbol + the "|" delimiter — two emissions per segment.
+    # Char-level targets (2 letters per homogeneous segment) blank-
+    # collapse: CTC gets no acoustic boundary inside a segment to hang
+    # the second letter on.
     vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
-    for ch in "abcdefg":
-        vocab[ch] = len(vocab)
+    for w in WORDS:
+        vocab[w] = len(vocab)
     asr_dir = root / "asr"
     asr_dir.mkdir(exist_ok=True)
     (asr_dir / "vocab.json").write_text(json.dumps(vocab))
 
     seqs = [rng.randint(0, N_UNITS, rng.randint(6, 14)) for _ in range(360)]
     wavs = vocode_units(root, seqs)
-    labels = []
-    for u in seqs:
-        text = units_to_text(u).replace(" ", "|")
-        labels.append([vocab[ch] for ch in text])
+    # Zero-mean/unit-var per utterance — the wav2vec2-CTC input convention
+    # (matches eval/asr.py's transcriber and the HF processor).
+    wavs = [
+        ((w - w.mean()) / np.sqrt(w.var() + 1e-7)).astype(np.float32)
+        for w in wavs
+    ]
+    (asr_dir / "preprocessor_config.json").write_text(
+        json.dumps({"do_normalize": True, "sampling_rate": 16000})
+    )
+    # Frame-level supervision: the synthetic corpus KNOWS its alignment
+    # (duration 1 frame/unit → 160 samples → ~16 ASR frames at hop 10),
+    # so the ASR trains with per-frame cross-entropy — word symbol on a
+    # segment's head frames, "|" on its tail frames — and the untouched
+    # eval-side greedy-CTC transcriber collapses that to "w0 w1 ..."
+    # (the tail delimiter also keeps repeated words separated). CTC's own
+    # alignment EM blank-collapses on this corpus: every segment is a
+    # homogeneous texture with no internal acoustic boundaries.
+    hop, seg = 10, 160
+    frame_labels = []
+    for u, w in zip(seqs, wavs):
+        T_frames = (len(w) - 20) // hop + 1
+        ids = []
+        for f in range(T_frames):
+            center = f * hop + 10
+            ui = min(center // seg, len(u) - 1)
+            pos = center - seg * ui
+            ids.append(vocab[WORDS[u[ui]]] if pos < seg - 32 else vocab["|"])
+        frame_labels.append(ids)
 
     cfg = HFConfig(
         conv_dim=[32, 32], conv_stride=[5, 2], conv_kernel=[10, 3],
@@ -248,10 +278,10 @@ def train_asr(root: Path, rng, steps=800):
     )
     torch.manual_seed(0)
     model = HFModel(cfg)
-    model.freeze_feature_encoder()  # conv frontend trains poorly on tiny data
-    opt = torch.optim.Adam(model.parameters(), lr=3e-4)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     B = 16
     order = np.arange(len(seqs))
+    ce = torch.nn.CrossEntropyLoss(ignore_index=-100)
     for step in range(steps):
         if step % (len(seqs) // B) == 0:
             rng.shuffle(order)
@@ -259,18 +289,22 @@ def train_asr(root: Path, rng, steps=800):
         if len(idx) < 2:
             continue
         S = max(len(wavs[i]) for i in idx)
-        Lmax = max(len(labels[i]) for i in idx)
         x = torch.zeros(len(idx), S)
-        y = torch.full((len(idx), Lmax), -100, dtype=torch.long)
+        Tmax = (S - 20) // hop + 1
+        y = torch.full((len(idx), Tmax), -100, dtype=torch.long)
         for r, i in enumerate(idx):
             x[r, : len(wavs[i])] = torch.tensor(wavs[i])
-            y[r, : len(labels[i])] = torch.tensor(labels[i])
-        out = model(x, labels=y)
+            fl = frame_labels[i]
+            y[r, : len(fl)] = torch.tensor(fl)
+        logits = model(x).logits  # (B, T, V)
+        T = min(logits.shape[1], y.shape[1])
+        loss = ce(logits[:, :T].reshape(-1, logits.shape[-1]), y[:, :T].reshape(-1))
         opt.zero_grad()
-        out.loss.backward()
+        loss.backward()
         opt.step()
         if step % 100 == 0:
-            print(f"asr step {step} ctc_loss {float(out.loss):.3f}", flush=True)
+            acc = (logits[:, :T].argmax(-1) == y[:, :T]).float()[y[:, :T] >= 0].mean()
+            print(f"asr step {step} frame_ce {float(loss):.3f} acc {float(acc):.3f}", flush=True)
     model.eval()
     model.save_pretrained(asr_dir, safe_serialization=False)
     return str(asr_dir)
