@@ -76,7 +76,7 @@ def stage_encode(n):
                 params, feats + c, fl, imgs, img_masks, None,
                 deterministic=True, method=model.encode,
             )
-            return enc["encoder_out"].mean(), ()
+            return enc["encoder_out"].mean().astype(feats.dtype), ()
         out, _ = jax.lax.scan(body, jnp.zeros((), feats.dtype), None, length=n)
         return out
     return lambda: run(params, feats0, fl0)
