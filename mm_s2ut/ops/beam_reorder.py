@@ -1,13 +1,18 @@
-"""Pallas beam-reorder kernel: permute rows of a big buffer at DMA speed.
+"""Pallas row-permute kernel: permute rows of a big buffer at DMA speed.
 
-Beam search must permute the stacked self-attention KV cache every step
-(SURVEY.md F6 / §7 hard part 2). XLA's in-loop lowerings top out well
-below copy bandwidth on TPU (measured at (40, 2·6·201·8·64) bf16:
-lax.gather ≈ 119 GB/s, per-row dynamic-slice+stack ≈ 233 GB/s). This
-kernel scalar-prefetches the row permutation and lets the Pallas pipeline
-stream (row, chunk) blocks HBM→VMEM→HBM with double buffering — the
-source block index comes from the prefetched index ref, so each block is
-one contiguous DMA.
+Historical role: beam search permuted the stacked self-attention KV
+cache every step (SURVEY.md F6 / §7 hard part 2), and XLA's in-loop
+lowerings top out well below copy bandwidth on TPU (measured at
+(40, 2·6·201·8·64) bf16: lax.gather ≈ 119 GB/s, per-row
+dynamic-slice+stack ≈ 233 GB/s); this kernel recovered copy bandwidth by
+scalar-prefetching the permutation and streaming (row, chunk) blocks
+HBM→VMEM→HBM with double buffering.
+
+The decode path has since moved past it: the ancestry-indexed cache
+(ops/decode_attention.py) removed the per-step permutation entirely, so
+beam search no longer calls this. It remains as a general tested
+utility for leading-axis permutations of large device buffers (e.g.
+corpus-order shuffles of resident feature stores).
 """
 from __future__ import annotations
 
