@@ -77,6 +77,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         except Exception as e:  # fresh run
             logger.warning("no checkpoint to resume (%s); starting fresh", e)
     writer = MetricsWriter(f"{cfg.train.save_dir}/logs")
+    if cfg.train.eval_inference:
+        trainer.inference_metrics_fn = task.build_inference_metrics_fn(trainer)
+        logger.info("eval_inference on: reporting MCD metrics at validation")
 
     has_valid = True
     try:

@@ -270,6 +270,12 @@ class TrainConfig:
     maximize_best_checkpoint_metric: bool = False
     # Modality freeze schedule (reference --freezing-updates).
     freezing_updates: int = 0
+    # Eval-time inference metrics (fairseq --eval-inference surface used by
+    # the reference task, tasks/speech_to_speech.py:25 + criterion reduce
+    # :105-117): run generator + vocoder on valid batches, report MCD stats.
+    eval_inference: bool = False
+    eval_vocoder_path: str = ""
+    eval_vocoder_cfg: str = ""
     # Rematerialisation policy for memory (reference --checkpoint-activations).
     checkpoint_activations: bool = False
 
@@ -284,6 +290,9 @@ class GenerationConfig:
     max_tokens: int = 8000
     # n-best to emit into generate-*.txt (reference emits top-1 H/D lines).
     nbest: int = 1
+    # Decode KV-cache storage: "bfloat16" (exact) or "int8" (per-column
+    # symmetric quantization; halves the decode kernel's HBM reads).
+    kv_cache_dtype: str = "bfloat16"
 
 
 @dataclass

@@ -24,6 +24,8 @@ from typing import List, Optional
 
 import numpy as np
 
+import mm_s2ut.cli  # noqa: F401  (compile cache + MM_S2UT_FORCE_CPU setup)
+
 logger = logging.getLogger("mm_s2ut.inference")
 
 

@@ -400,7 +400,9 @@ class Wav2Vec2WithMultiModal(nn.Module):
         use_layerdrop = not deterministic and c.layerdrop > 0
         for i, layer in enumerate(base.layers):
             x_in = hidden
-            hidden = layer(hidden, bias=bias, deterministic=deterministic)
+            # Positional call: remat static_argnums counts self —
+            # (x=1, bias=2, deterministic=3, key_padding_mask=4).
+            hidden = layer(hidden, bias, deterministic, padding_mask)
             j = i - (len(base.layers) - n_fused)
             if j >= 0:
                 img = image.astype(hidden.dtype)

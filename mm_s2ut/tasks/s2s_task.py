@@ -199,3 +199,66 @@ class MultiModalSpeechToSpeechTask:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info("model %s: %.1fM params", self.cfg.model.arch, n_params / 1e6)
         return Trainer(self.cfg, model, params, criterion_name=criterion)
+
+    def build_inference_metrics_fn(self, trainer):
+        """MCD inference metrics at validation (fairseq --eval-inference):
+        beam-decode each valid batch, vocode predicted and target units,
+        and return summed MCD logging outputs for
+        :func:`mm_s2ut.eval.mcd.reduce_inference_metrics`."""
+        import json
+
+        from mm_s2ut.eval.mcd import batch_mel_cepstral_distortion
+        from mm_s2ut.infer.generator import UnitGenerator
+        from mm_s2ut.models.hifigan import (
+            CodeHiFiGAN, HiFiGANConfig, load_fairseq_checkpoint,
+        )
+
+        tcfg = self.cfg.train
+        if not (tcfg.eval_vocoder_path and tcfg.eval_vocoder_cfg):
+            raise ValueError(
+                "train.eval_inference needs eval_vocoder_path + eval_vocoder_cfg"
+            )
+        with open(tcfg.eval_vocoder_cfg) as fh:
+            vcfg_raw = json.load(fh)
+        vcfg = HiFiGANConfig(**{
+            k: v for k, v in vcfg_raw.items()
+            if k in HiFiGANConfig.__dataclass_fields__
+        })
+        variables = load_fairseq_checkpoint(tcfg.eval_vocoder_path, vcfg)
+        dur = bool(vcfg_raw.get("dur_prediction", vcfg.dur_prediction))
+        sr = vcfg_raw.get("sampling_rate", 16000)
+
+        def vocode(unit_seqs):
+            seqs = [s if len(s) else [0] for s in unit_seqs]
+            L = max(len(s) for s in seqs)
+            max_frames = (8 * L + 16) if dur else (L + 1)
+            model = CodeHiFiGAN(vcfg, max_frames=max_frames)
+            units = np.zeros((len(seqs), L), np.int32)
+            lens = np.asarray([len(s) for s in seqs], np.int32)
+            for i, s in enumerate(seqs):
+                units[i, : len(s)] = s
+            wav, n_samples = model.apply(
+                variables, jnp.asarray(units), jnp.asarray(lens),
+                dur_prediction=dur,
+            )
+            wav, n_samples = np.asarray(wav), np.asarray(n_samples)
+            return [wav[i, : n_samples[i]] for i in range(len(seqs))]
+
+        def to_units(tokens):
+            return self.tgt_dict.ids_to_units(tokens).tolist()
+
+        def fn(batch):
+            gen = UnitGenerator(
+                trainer.model, trainer.state.params, self.cfg.generation
+            )
+            hyps = gen.generate(
+                np.asarray(batch["src_features"]), np.asarray(batch["src_lengths"]),
+                tuple(np.asarray(x) for x in batch.get("imgs_list", ())),
+                tuple(np.asarray(x) for x in batch.get("img_masks_list", ())),
+            )
+            pred = [to_units(h[0]["tokens"]) for h in hyps]
+            targ = [to_units(t[t != self.tgt_dict.pad()].tolist())
+                    for t in np.asarray(batch["target"])]
+            return batch_mel_cepstral_distortion(vocode(targ), vocode(pred), sr)
+
+        return fn

@@ -54,11 +54,31 @@ def make_train_step(
     tx: optax.GradientTransformation,
     criterion_kwargs: Optional[Dict[str, Any]] = None,
     rdrop_alpha: float = 0.0,
+    freezing_updates: int = 0,
 ) -> Callable:
     """Build the jitted train step. ``batch`` must contain the model's
     call kwargs plus ``target``. Loss is normalized by ntokens (fairseq
-    sample_size convention)."""
+    sample_size convention).
+
+    ``freezing_updates > 0`` freezes the pretrained ``speech_encoder``
+    branch for the first N updates (reference --freezing-updates,
+    tasks/speech_to_speech.py:70-73 + unfreeze_module,
+    mm_s2s_transformer.py:61-68). TPU-native form: one compiled graph,
+    a step-gated zero of that subtree's gradients — no graph rebuild at
+    the unfreeze boundary."""
     ckw = dict(criterion_kwargs or {})
+
+    def mask_frozen(grads, step):
+        if freezing_updates <= 0:
+            return grads
+        frozen = step < freezing_updates
+        scale = jnp.where(frozen, 0.0, 1.0)
+
+        def apply(path, g):
+            names = {getattr(p, "key", None) for p in path}
+            return g * scale.astype(g.dtype) if "speech_encoder" in names else g
+
+        return jax.tree_util.tree_map_with_path(apply, grads)
 
     def loss_fn(params, batch, rng):
         d_rng, m_rng, b_rng = jax.random.split(rng, 3)
@@ -91,6 +111,7 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
+        grads = mask_frozen(grads, state.step)
         grad_norm = optax.global_norm(grads)
         # Skip non-finite updates (the bf16 analog of fairseq's fp16
         # overflow-batch skipping): a bad batch advances the step counter
@@ -163,7 +184,9 @@ class Trainer:
         }
         self._train_step = jax.jit(
             make_train_step(
-                model, criterion, self.tx, ckw, rdrop_alpha=cfg.train.rdrop_alpha
+                model, criterion, self.tx, ckw,
+                rdrop_alpha=cfg.train.rdrop_alpha,
+                freezing_updates=cfg.train.freezing_updates,
             ),
             donate_argnums=(0,),
         )
@@ -181,6 +204,9 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self.metrics_history: list = []
         self._ckpt_mgr = None
+        # Set by the entry point when train.eval_inference is on
+        # (task.build_inference_metrics_fn); used by fit()'s validations.
+        self.inference_metrics_fn: Optional[Callable] = None
 
     # -- checkpointing -------------------------------------------------------
 
@@ -259,20 +285,35 @@ class Trainer:
         self.state, metrics = self._train_step(self.state, batch, self.rng)
         return metrics
 
-    def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
+    def evaluate(
+        self,
+        batches: Iterator[Dict[str, np.ndarray]],
+        inference_metrics_fn: Optional[Callable[[Dict], Dict[str, float]]] = None,
+    ) -> Dict[str, float]:
+        """Criterion metrics over valid batches; with ``inference_metrics_fn``
+        (fairseq --eval-inference) also beam-decodes + vocodes each batch and
+        reduces MCD stats (reference speech_to_speech_criterion.py:105-117)."""
         totals: Dict[str, float] = {}
+        infer_logs = []
         for batch in batches:
+            if inference_metrics_fn is not None:
+                infer_logs.append(inference_metrics_fn(batch))
             batch = shard_batch(self.mesh, batch)
             m = jax.device_get(self._eval_step(self.state.params, batch))
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
         ntok = max(totals.get("ntokens", 1.0), 1.0)
-        return {
+        out = {
             "loss": totals.get("loss", 0.0) / ntok,
             "nll_loss": totals.get("nll_loss", 0.0) / ntok,
             "accuracy": totals.get("n_correct", 0.0) / ntok,
             "ntokens": ntok,
         }
+        if infer_logs:
+            from mm_s2ut.eval.mcd import reduce_inference_metrics
+
+            out.update(reduce_inference_metrics(infer_logs))
+        return out
 
     def fit(
         self,
@@ -310,7 +351,8 @@ class Trainer:
                         metrics_writer.write(step, snap, "train")
                 if cfg.save_interval_updates and step % cfg.save_interval_updates == 0 and step > 0:
                     valid_metrics = (
-                        self.evaluate(valid_iter()) if valid_iter is not None else {}
+                        self.evaluate(valid_iter(), self.inference_metrics_fn)
+                        if valid_iter is not None else {}
                     )
                     if valid_metrics:
                         logger.info("valid at %d: %s", step, valid_metrics)
@@ -323,6 +365,9 @@ class Trainer:
                 break
             epoch += 1
         # Final checkpoint.
-        valid_metrics = self.evaluate(valid_iter()) if valid_iter is not None else {}
+        valid_metrics = (
+            self.evaluate(valid_iter(), self.inference_metrics_fn)
+            if valid_iter is not None else {}
+        )
         self.save_checkpoint(valid_metrics)
         return self.state

@@ -214,12 +214,17 @@ def convert_mm_s2ut_checkpoint(
     out_proj = sd.get("decoder.output_projection.weight")
     if out_proj is not None:
         consumed.add("decoder.output_projection.weight")
-        if emb is not None and out_proj.shape == emb.shape and not np.allclose(
-            out_proj, emb
-        ):
+        tied = (
+            emb is not None
+            and out_proj.shape == emb.shape
+            and np.allclose(out_proj, emb)
+        )
+        if not tied:
             raise ValueError(
-                "decoder.output_projection is not tied to decoder.embed_tokens; "
-                "untied output projections are not supported by UnitDecoder "
+                "decoder.output_projection is not tied to decoder.embed_tokens "
+                f"(projection shape {tuple(out_proj.shape)} vs embedding "
+                f"{None if emb is None else tuple(emb.shape)}); untied output "
+                "projections are not supported by UnitDecoder "
                 "(share_input_output_embed=True)"
             )
 
@@ -270,6 +275,35 @@ _FAIRSEQ_HUBERT_DROP = re.compile(
 )
 
 
+def _parse_conv_feature_layers(spec: str) -> list:
+    """Evaluate fairseq's ``conv_feature_layers`` string — e.g.
+    ``"[(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2"`` — with a
+    restricted AST walker (list/tuple/int literals plus ``+``/``*`` only),
+    never ``eval`` (checkpoint blobs are untrusted input)."""
+    import ast
+
+    def walk(node):
+        if isinstance(node, ast.Expression):
+            return walk(node.body)
+        if isinstance(node, ast.List):
+            return [walk(e) for e in node.elts]
+        if isinstance(node, ast.Tuple):
+            return tuple(walk(e) for e in node.elts)
+        if isinstance(node, ast.Constant) and isinstance(node.value, int):
+            return node.value
+        if isinstance(node, ast.BinOp) and isinstance(node.op, (ast.Add, ast.Mult)):
+            lhs, rhs = walk(node.left), walk(node.right)
+            return lhs + rhs if isinstance(node.op, ast.Add) else lhs * rhs
+        raise ValueError(f"unsupported conv_feature_layers expression: {spec!r}")
+
+    out = walk(ast.parse(spec, mode="eval"))
+    if not (isinstance(out, list) and all(
+        isinstance(t, tuple) and len(t) == 3 for t in out
+    )):
+        raise ValueError(f"conv_feature_layers did not parse to [(c,k,s),...]: {spec!r}")
+    return out
+
+
 def fairseq_hubert_config(ckpt_path: str | Path):
     """Build a :class:`mm_s2ut.models.wav2vec2.Wav2Vec2Config` from the
     fairseq checkpoint's embedded model cfg (falling back to the standard
@@ -300,7 +334,7 @@ def fairseq_hubert_config(ckpt_path: str | Path):
         "conv_feature_layers",
         "[(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2",
     )
-    conv_spec = eval(conv_string, {"__builtins__": {}})  # fairseq stores a literal
+    conv_spec = _parse_conv_feature_layers(conv_string)
     return Wav2Vec2Config(
         hidden_size=hidden,
         num_hidden_layers=n_layers,

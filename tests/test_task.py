@@ -102,3 +102,51 @@ def test_task_end_to_end(corpus):
     )
     assert any(l.startswith("D-") for l in lines)
     assert any(l.startswith("T-") for l in lines)
+
+
+def test_eval_inference_mcd_metrics(corpus, tmp_path):
+    """train.eval_inference: validation reports MCD stats through the
+    generator + vocoder chain (fairseq --eval-inference surface; reference
+    criterion reduce, speech_to_speech_criterion.py:105-117)."""
+    import json
+    import sys
+
+    import torch
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_hifigan import SMALL, _torch_generator
+
+    torch.manual_seed(0)
+    tgen = _torch_generator(SMALL)
+    sd = dict(tgen.state_dict())
+    # 50 units to match the corpus target_code_size.
+    sd["dict.weight"] = torch.randn(50, SMALL.embedding_dim)
+    torch.save(sd, tmp_path / "vocoder.pt")
+    vcfg = {k: getattr(SMALL, k) for k in (
+        "embedding_dim", "model_in_dim", "upsample_initial_channel",
+    )}
+    vcfg.update(
+        num_embeddings=50,
+        upsample_rates=list(SMALL.upsample_rates),
+        upsample_kernel_sizes=list(SMALL.upsample_kernel_sizes),
+        resblock_kernel_sizes=list(SMALL.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in SMALL.resblock_dilation_sizes],
+        dur_prediction=False,
+    )
+    (tmp_path / "vocoder.json").write_text(json.dumps(vcfg))
+
+    cfg = make_cfg(corpus)
+    cfg.train.eval_inference = True
+    cfg.train.eval_vocoder_path = str(tmp_path / "vocoder.pt")
+    cfg.train.eval_vocoder_cfg = str(tmp_path / "vocoder.json")
+    cfg.generation.beam = 1
+    cfg.generation.max_len_a = 0
+    cfg.generation.max_len_b = 8
+    TaskCls = registry.get_task("multimodal_speech_to_speech")
+    task = TaskCls(cfg)
+    trainer = task.build_trainer()
+    fn = task.build_inference_metrics_fn(trainer)
+    ev = trainer.evaluate(task.batch_iterator("valid", shuffle=False), fn)
+    for key in ("mcd_loss", "pred_ratio", "ins_rate", "del_rate"):
+        assert key in ev and np.isfinite(ev[key]), (key, ev)
+    assert ev["mcd_loss"] > 0

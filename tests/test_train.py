@@ -287,3 +287,62 @@ def test_rdrop_criterion_autoselected():
     m = jax.device_get(trainer.train_batch(batch))
     assert "kl_loss" in m  # v2 criterion actually ran
     assert np.isfinite(float(m["kl_loss"]))
+
+
+def test_freezing_updates_gates_speech_branch():
+    """--freezing-updates N: the pretrained speech_encoder subtree must not
+    move for the first N updates and must move afterwards (reference
+    tasks/speech_to_speech.py:70-73, unfreeze_module)."""
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config
+
+    cfg = _tiny_cfg()
+    cfg.model.speech_encoder_type = "hubert"
+    cfg.train.freezing_updates = 2
+    w2v = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, mask_time_prob=0.0,
+        hidden_dropout=0.0, attention_dropout=0.0, use_flash_attention=False,
+    )
+    model = MMS2UTModel(cfg.model, w2v_cfg=w2v)
+    rng = np.random.RandomState(0)
+    B, Tt = 2, 6
+    prev = rng.randint(4, 30, (B, Tt)).astype(np.int32)
+    target = np.roll(prev, -1, axis=1)
+    target[:, -1] = 2
+    batch = {
+        "src_features": rng.randn(B, 800).astype(np.float32),
+        "src_lengths": np.asarray([800, 600]),
+        "prev_output_tokens": prev,
+        "target": target,
+        "imgs_list": (rng.randn(B, 5, 8).astype(np.float32),),
+        "img_masks_list": (np.zeros((B, 5), bool),),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["src_features"], batch["src_lengths"], batch["prev_output_tokens"],
+        batch["imgs_list"], batch["img_masks_list"],
+    )
+    trainer = Trainer(cfg, model, params)
+
+    def branch_snapshot():
+        sub = trainer.state.params["params"]["speech_encoder"]
+        return jax.device_get(
+            sub["layer0"]["attention"]["q_proj"]["kernel"]
+        ).copy()
+
+    def dec_snapshot():
+        return jax.device_get(
+            trainer.state.params["params"]["decoder"]["embed"]["embed_tokens"]["embedding"]
+        ).copy()
+
+    s0, d0 = branch_snapshot(), dec_snapshot()
+    trainer.train_batch(batch)
+    trainer.train_batch(batch)
+    s2, d2 = branch_snapshot(), dec_snapshot()
+    np.testing.assert_array_equal(s0, s2)  # frozen for 2 updates
+    assert not np.allclose(d0, d2)  # the rest trains
+    trainer.train_batch(batch)
+    s3 = branch_snapshot()
+    assert not np.allclose(s2, s3)  # unfrozen at step 2

@@ -239,3 +239,54 @@ def test_gradient_checkpointing_same_numerics():
         ),
         grads[0], grads[1],
     )
+
+
+def test_multimodal_gradient_checkpointing_same_numerics():
+    """Wav2Vec2WithMultiModal must accept remat-wrapped layers (positional
+    layer call — regression for the kwargs/static_argnums crash) with
+    identical numerics to the unremat graph."""
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2WithMultiModal
+
+    kw = dict(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, hidden_dropout=0.0,
+        attention_dropout=0.0, mask_time_prob=0.0, use_flash_attention=False,
+    )
+    rng = np.random.RandomState(3)
+    wav = jnp.asarray(rng.randn(2, 800), jnp.float32)
+    img = jnp.asarray(rng.randn(2, 4, 16), jnp.float32)
+    outs, grads = [], []
+    for remat in (False, True):
+        cfg = Wav2Vec2Config(gradient_checkpointing=remat, **kw)
+        model = Wav2Vec2WithMultiModal(cfg, m2_dim=16, num_cross_attention_layers=1)
+        variables = model.init(jax.random.PRNGKey(0), wav, None, img, deterministic=True)
+
+        def loss(v):
+            return model.apply(v, wav, None, img, deterministic=True)[
+                "last_hidden_state"
+            ].sum()
+
+        outs.append(float(loss(variables)))
+        grads.append(jax.grad(loss)(variables))
+    assert abs(outs[0] - outs[1]) < 1e-4
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        grads[0], grads[1],
+    )
+
+
+def test_parse_conv_feature_layers():
+    from mm_s2ut.utils.fairseq_convert import _parse_conv_feature_layers
+
+    spec = "[(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2"
+    out = _parse_conv_feature_layers(spec)
+    assert len(out) == 7 and out[0] == (512, 10, 5) and out[-1] == (512, 2, 2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _parse_conv_feature_layers("__import__('os')")
+    with _pytest.raises(ValueError):
+        _parse_conv_feature_layers("[(1,2)]")
