@@ -85,6 +85,58 @@ def pipeline_flops(B, T_frames, beam, steps, cfg, voc_cfg, T_img=577, img_dim=76
     return f
 
 
+def train_step_ms(model, cfg, B=8, steps=20):
+    """Marginal per-update time of the full jitted train step (fwd bf16 +
+    bwd + clip + Adam) at a training-like shape: B utterances of ~10 s
+    (T src frames post-fbank ≈ 1000), targets ~100 units."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mm_s2ut import registry
+    from mm_s2ut.config import TrainConfig
+    from mm_s2ut.train.optimizer import build_optimizer
+    from mm_s2ut.train.trainer import TrainState, make_train_step
+
+    rng = np.random.RandomState(0)
+    T_src, Tt = 1000, 100
+    batch = {
+        "src_features": rng.randn(B, T_src, 80).astype(np.float32),
+        "src_lengths": np.full((B,), T_src, np.int32),
+        "prev_output_tokens": rng.randint(4, cfg.vocab_size, (B, Tt)).astype(np.int32),
+        "target": rng.randint(4, cfg.vocab_size, (B, Tt)).astype(np.int32),
+        "imgs_list": (rng.randn(B, 577, 768).astype(np.float32),),
+        "img_masks_list": (np.zeros((B, 577), bool),),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["src_features"], batch["src_lengths"],
+        batch["prev_output_tokens"], batch["imgs_list"], batch["img_masks_list"],
+    )
+    tx = build_optimizer(TrainConfig(update_freq=1, warmup_updates=10))
+    state = TrainState.create(params, tx)
+    criterion = registry.get_criterion("speech_to_unit")
+    step_fn = jax.jit(
+        make_train_step(model, criterion, tx, {"label_smoothing": 0.2}),
+        donate_argnums=(0,),
+    )
+    batch = jax.device_put(batch)
+    key = jax.random.PRNGKey(1)
+
+    def run(n):
+        nonlocal state
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            state, metrics = step_fn(state, batch, key)
+        float(metrics["loss"])
+        return _time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    t_small = min(run(2) for _ in range(2))
+    t_big = min(run(steps) for _ in range(2))
+    return (t_big - t_small) / (steps - 2) * 1e3
+
+
 def main():
     import jax
 
@@ -105,11 +157,15 @@ def main():
     from mm_s2ut.ops.fbank import FbankConfig, batched_log_mel_fbank
 
     SECONDS, SR = 10, 16000
-    # Default operating point: batch 32 (the throughput-optimal static
-    # batch measured on v5e; fairseq's max-tokens 8000 ≈ batch 8 — see
-    # extra.batch in the emitted record, and override via env).
+    # Default operating point: the REFERENCE's generation setting — beam 10
+    # (scripts/textless/2_inference.sh:34-43) — at batch 32 (the
+    # throughput-optimal static batch measured on v5e; fairseq's
+    # max-tokens 8000 ≈ batch 8). A beam-5 secondary measurement goes in
+    # extras. Override via env: MM_BENCH_BATCH / MM_BENCH_BEAM /
+    # MM_BENCH_KV (bfloat16|int8) / MM_BENCH_SKIP_EXTRAS=1.
     B = int(os.environ.get("MM_BENCH_BATCH", "32"))
-    BEAM = int(os.environ.get("MM_BENCH_BEAM", "5"))
+    BEAM = int(os.environ.get("MM_BENCH_BEAM", "10"))
+    KV_DTYPE = os.environ.get("MM_BENCH_KV", "int8")
     MAX_LEN = 200
     N1, N2 = 2, 10
 
@@ -138,7 +194,9 @@ def main():
         jnp.full((B,), MAX_LEN, jnp.int32),
     )
 
-    def one_batch(params, voc_params, wavs, wav_lengths, imgs, img_masks):
+    def one_batch(params, voc_params, wavs, wav_lengths, imgs, img_masks,
+                  beam=None):
+        beam = beam or BEAM
         feats, frame_lens = batched_log_mel_fbank(
             wavs * 32768.0, wav_lengths, fbank_cfg
         )
@@ -146,14 +204,17 @@ def main():
             params, feats, frame_lens, imgs, img_masks, None,
             deterministic=True, method=model.encode,
         )
-        state = model.apply(params, enc, MAX_LEN + 1, method=model.decode_init)
-        state = tile_state_for_beams(state, BEAM)
+        state = model.apply(
+            params, enc, MAX_LEN + 1, method=model.decode_init,
+            kv_dtype=KV_DTYPE,
+        )
+        state = tile_state_for_beams(state, beam)
 
         def decode_step(tokens, st):
             return model.apply(params, tokens, st, method=model.decode_step)
 
         seqs, scores = beam_search(
-            decode_step, state, B, beam_size=BEAM, max_len=MAX_LEN,
+            decode_step, state, B, beam_size=beam, max_len=MAX_LEN,
             eos_id=2, bos_id=2, pad_id=1, vocab_size=cfg.vocab_size,
         )
         # Top hypothesis → units (offset-4) → unit HiFi-GAN → waveform.
@@ -163,11 +224,12 @@ def main():
         wav_out, n_samples = vocoder.apply(voc_params, units, n_units)
         return seqs, scores, wav_out, n_samples
 
-    @partial(jax.jit, static_argnames=("n",))
-    def run_n(params, voc_params, all_wavs, wav_lengths, imgs, img_masks, n):
+    @partial(jax.jit, static_argnames=("n", "beam"))
+    def run_n(params, voc_params, all_wavs, wav_lengths, imgs, img_masks, n,
+              beam=None):
         def step(carry, wavs):
             seqs, scores, wav_out, n_samples = one_batch(
-                params, voc_params, wavs, wav_lengths, imgs, img_masks
+                params, voc_params, wavs, wav_lengths, imgs, img_masks, beam
             )
             return carry + scores.sum() + wav_out.sum() + n_samples.sum(), None
 
@@ -181,42 +243,57 @@ def main():
             tuple(jnp.asarray(x) for x in imgs),
             tuple(jnp.asarray(x) for x in img_masks))
 
-    def timed(n, reps=2):
+    def timed(n, beam=None, reps=2):
         # warmup/compile
-        float(run_n(*args, n=n))
+        float(run_n(*args, n=n, beam=beam))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(run_n(*args, n=n))  # float() forces a host fetch = completion
+            # float() forces a host fetch = completion
+            float(run_n(*args, n=n, beam=beam))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # Two-point marginal timing with a jitter guard: retry once if the
-    # relay hiccup makes the long run look faster than the short one.
-    for attempt in range(2):
-        t1, t2 = timed(N1), timed(N2)
-        if t2 > t1:
-            break
-    marginal = max(t2 - t1, 1e-9) / (N2 - N1)
+    def marginal_sec(beam=None):
+        # Two-point marginal timing with a jitter guard: retry once if the
+        # relay hiccup makes the long run look faster than the short one.
+        for attempt in range(2):
+            t1, t2 = timed(N1, beam), timed(N2, beam)
+            if t2 > t1:
+                break
+        return max(t2 - t1, 1e-9) / (N2 - N1), t1, t2
+
+    marginal, t1, t2 = marginal_sec()
     utt_per_sec = B / marginal
     rtf = B * SECONDS / marginal
 
     n_frames = int(feats0.shape[1])
     flops = pipeline_flops(B, n_frames, BEAM, MAX_LEN, cfg, voc_cfg)
     mfu = flops / marginal / PEAK_BF16_FLOPS
+
+    extra = {
+        "rtf_x_realtime": round(rtf, 1),
+        "beam": BEAM, "decode_steps": MAX_LEN, "batch": B,
+        "kv_cache_dtype": KV_DTYPE,
+        "sec_per_batch": round(marginal, 4),
+        "model_tflops_per_batch": round(flops / 1e12, 3),
+        "mfu_pct": round(100 * mfu, 2),
+        "t_n1": round(t1, 3), "t_n2": round(t2, 3),
+    }
+
+    if not os.environ.get("MM_BENCH_SKIP_EXTRAS"):
+        # Secondary operating point: beam 5 (round-1/2 comparison series).
+        m5, _, _ = marginal_sec(beam=5)
+        extra["beam5_utt_per_sec"] = round(B / m5, 3)
+        # Train step at the training shape (driver-captured, VERDICT r2 #7).
+        extra["train_step_ms"] = round(train_step_ms(model, cfg, B=8), 3)
+
     print(json.dumps({
-        "metric": "e2e_s2st_beam5_vocoder_utterances_per_sec",
+        "metric": f"e2e_s2st_beam{BEAM}_vocoder_utterances_per_sec",
         "value": round(utt_per_sec, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
-        "extra": {
-            "rtf_x_realtime": round(rtf, 1),
-            "beam": BEAM, "decode_steps": MAX_LEN, "batch": B,
-            "sec_per_batch": round(marginal, 4),
-            "model_tflops_per_batch": round(flops / 1e12, 3),
-            "mfu_pct": round(100 * mfu, 2),
-            "t_n1": round(t1, 3), "t_n2": round(t2, 3),
-        },
+        "extra": extra,
     }))
 
 

@@ -32,19 +32,55 @@ def extract_units_from_generate(gen_file: Path, unit_file: Path) -> int:
     return len(rows)
 
 
+def extract_text_from_generate(
+    gen_file: Path, hyp_file: Path, bpe_cfg: Optional[dict] = None
+) -> int:
+    """Enhanced-path hypothesis extraction: D- lines → detokenized text
+    (SentencePiece pieces joined and ▁-despaced when the model's data
+    config carries a bpe_tokenizer; reference enhanced/2_inference.sh +
+    sacrebleu loop)."""
+    gen_file, hyp_file = Path(gen_file), Path(hyp_file)
+    sp = None
+    if bpe_cfg:
+        from mm_s2ut.data.sentencepiece import build_bpe_tokenizer
+
+        sp = build_bpe_tokenizer(bpe_cfg)
+    rows = []
+    for line in gen_file.read_text().splitlines():
+        m = re.match(r"^D-(\d+)\t[^\t]*\t(.*)$", line)
+        if m:
+            text = m.group(2)
+            if sp is not None:
+                text = sp.decode(text.split())
+            rows.append((int(m.group(1)), text))
+    rows.sort()
+    hyp_file.write_text("\n".join(t for _, t in rows) + "\n")
+    return len(rows)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m mm_s2ut.cli.inference_all")
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--subsets", nargs="+",
                     default=["valid", "test.2016", "test.2017", "test.coco"])
     ap.add_argument("--results-root", required=True)
-    ap.add_argument("--vocoder", required=True)
+    ap.add_argument("--mode", choices=["units", "text"], default="units",
+                    help="units: textless chain (vocode→ASR→ASR-BLEU); "
+                         "text: enhanced chain (detokenize→text BLEU, "
+                         "reference scripts/enhanced/inference_all.sh)")
+    ap.add_argument("--vocoder", default=None)
     ap.add_argument("--vocoder-cfg", default=None)
-    ap.add_argument("--asr-model", required=True, help="HF wav2vec2-CTC dir")
+    ap.add_argument("--asr-model", default=None, help="HF wav2vec2-CTC dir")
     ap.add_argument("--reference-root", required=True,
                     help="dir with {subset}.txt reference transcripts")
     ap.add_argument("--beam", type=int, default=10)
     args = ap.parse_args(argv)
+
+    if args.mode == "units" and not (args.vocoder and args.asr_model):
+        ap.error("--mode units requires --vocoder and --asr-model")
+
+    if args.mode == "text":
+        return _text_mode(args)
 
     from mm_s2ut.cli import generate as gen_cli
     from mm_s2ut.cli import vocode as vocode_cli
@@ -80,6 +116,43 @@ def main(argv: Optional[List[str]] = None) -> int:
         bleu = score_from_files(transcript, ref_file)
         (out / "bleu.txt").write_text(str(bleu) + "\n")
         logger.info("%s ASR-BLEU %.2f", subset, bleu.score)
+        results[subset] = bleu.score
+    print({k: round(v, 2) for k, v in results.items()})
+    return 0
+
+
+def _text_mode(args) -> int:
+    """Enhanced-path eval: generate → detokenize → corpus text BLEU per
+    subset (reference scripts/enhanced/inference_all.sh + 2_inference.sh:
+    fairseq-generate at beam 10 then BLEU on detokenized text)."""
+    from mm_s2ut.cli import generate as gen_cli
+    from mm_s2ut.config import load_config
+    from mm_s2ut.eval.bleu import corpus_asr_bleu
+
+    cfg = load_config(Path(args.model_path) / "config.yaml")
+    bpe_cfg = dict(cfg.data.bpe_tokenizer) or None
+    results = {}
+    for subset in args.subsets:
+        out = Path(args.results_root) / subset
+        out.mkdir(parents=True, exist_ok=True)
+        logger.info("=== %s (text) ===", subset)
+        gen_cli.main([
+            "--model_path", args.model_path,
+            "--gen-subset", subset,
+            "--results-path", str(out),
+            "--beam", str(args.beam),
+        ])
+        hyp_file = out / "hyp.txt"
+        n = extract_text_from_generate(
+            out / f"generate-{subset}.txt", hyp_file, bpe_cfg
+        )
+        logger.info("extracted %d hypotheses", n)
+        refs = (Path(args.reference_root) / f"{subset}.txt").read_text().splitlines()
+        hyps = hyp_file.read_text().splitlines()
+        # Plain sacrebleu semantics (no ASR cleaning) for text targets.
+        bleu = corpus_asr_bleu(hyps, refs[: len(hyps)], clean=False)
+        (out / "bleu.txt").write_text(str(bleu) + "\n")
+        logger.info("%s text BLEU %.2f", subset, bleu.score)
         results[subset] = bleu.score
     print({k: round(v, 2) for k, v in results.items()})
     return 0

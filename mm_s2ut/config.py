@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import yaml
 
@@ -54,6 +54,17 @@ class MultimodalConfig:
     )
     load_visual_extractor_type: Optional[str] = None
     load_visual_extractor: Optional[str] = None
+    # Raw-image preprocessing for the on-line extractor (reference yaml
+    # keys image_input_size/image_mean/image_std,
+    # data/speech_to_speech_dataset.py:108-109,160-167).
+    image_input_size: int = 224
+    image_mean: List[float] = field(default_factory=list)
+    image_std: List[float] = field(default_factory=list)
+    # Overrides for the extractor graph (ViTConfig / CLIPVisionConfig
+    # fields, e.g. {embed_dim: 192, depth: 12}); empty ⇒ published
+    # defaults. The reference sizes its graph from the checkpoint dir
+    # (timm/transformers from_pretrained); here the graph is explicit.
+    visual_extractor_args: Dict[str, Any] = field(default_factory=dict)
     # AV-HuBERT-style modality dropout: probability of dropping one modality;
     # given a drop, probability the *audio* stream is the one zeroed.
     # Negative value disables (reference yaml comments, sign<0 convention).
@@ -168,6 +179,13 @@ class DataConfig:
     target_is_code: bool = True
     target_code_size: int = 1000
     n_frames_per_step: int = 1
+    # S2T (enhanced path) raw-transcript tokenization, fairseq
+    # S2TDataConfig surface (reference tasks/speech_to_text.py:48-49):
+    # pre_tokenizer: {tokenizer: none|space}; bpe_tokenizer:
+    # {bpe: sentencepiece, sentencepiece_model: <path>}. Empty ⇒ targets
+    # are pre-tokenized offline.
+    pre_tokenizer: Dict[str, Any] = field(default_factory=dict)
+    bpe_tokenizer: Dict[str, Any] = field(default_factory=dict)
     # Batching (reference --max-tokens dynamic batching; here token-bucketed
     # with static padded shapes for XLA).
     max_tokens: int = 8000

@@ -120,14 +120,15 @@ def get_waveform(
             x, sr = decode_flac_bytes(data)
         elif data[:4] == b"OggS":
             # The reference decodes ogg via libsndfile (audio_utils.py:236-325);
-            # no vorbis codec ships in this environment — convert offline
-            # (the reference's own prep converts mp3→wav via ffmpeg too,
-            # 1_preprocess.ipynb cell 1).
-            raise ValueError(
-                f"{fname}: ogg/vorbis decode is not supported in this "
-                "build; convert to wav or flac offline (e.g. ffmpeg -i in.ogg "
-                "-ar 16000 out.wav)"
-            )
+            # this build binds the same system codec (libvorbisfile) directly.
+            from mm_s2ut.data import ogg
+
+            if not ogg.available():
+                raise ValueError(
+                    f"{fname}: no libvorbisfile on this host; convert to wav "
+                    "or flac offline (e.g. ffmpeg -i in.ogg -ar 16000 out.wav)"
+                )
+            x, sr = ogg.decode_ogg_bytes(data)
         else:
             x, sr = decode_wav_bytes(data)
     if mono and x.shape[1] > 1:

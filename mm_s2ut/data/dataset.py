@@ -134,12 +134,29 @@ class SpeechToSpeechDataset:
         is_train = split.startswith("train") if is_train is None else is_train
         stores: List[ImageFeatureStore] = []
         if mm_cfg is not None:
-            for feat_root in mm_cfg.image_feat_path:
+            if mm_cfg.load_visual_extractor_type:
+                # On-line raw-image path (reference
+                # data/speech_to_speech_dataset.py:168-190,318-330): the
+                # dataset yields preprocessed pixels and the encoder runs
+                # the ViT/CLIP extractor in-graph.
+                from mm_s2ut.data.image_store import RawImageStore
+
                 stores.append(
-                    ImageFeatureStore.for_split(
-                        feat_root, split, mm_cfg.flickr30k_root or None
+                    RawImageStore.for_split(
+                        mm_cfg.flickr30k_root, split,
+                        mode=mm_cfg.load_visual_extractor_type,
+                        image_size=mm_cfg.image_input_size,
+                        mean=tuple(mm_cfg.image_mean) or None,
+                        std=tuple(mm_cfg.image_std) or None,
                     )
                 )
+            else:
+                for feat_root in mm_cfg.image_feat_path:
+                    stores.append(
+                        ImageFeatureStore.for_split(
+                            feat_root, split, mm_cfg.flickr30k_root or None
+                        )
+                    )
         noise_wavs: List[np.ndarray] = []
         if noise_cfg and noise_cfg.noise_wav_dir and noise_cfg.noise_prob > 0:
             for p in sorted(Path(noise_cfg.noise_wav_dir).glob("*.wav")):

@@ -129,3 +129,65 @@ def audio_stem_to_image_index(audio_path: str) -> int:
     data/speech_to_speech_dataset.py:318-321)."""
     stem = os.path.splitext(os.path.basename(audio_path))[0]
     return int(stem) - 1
+
+
+class RawImageStore:
+    """On-line raw-image source (reference load_visual_extractor_type
+    train path, data/speech_to_speech_dataset.py:168-190,318-330): opens
+    the split's jpg by flickr30k caption order and applies the
+    configured preprocessor mode (models/vit.py:preprocess_images).
+
+    Duck-compatible with :class:`ImageFeatureStore` — ``__getitem__``
+    returns ``(img_path, (S, S, 3) pixels, None)`` so the dataset/collate
+    path is unchanged; the encoder detects the 3-D pixel item (vs 2-D
+    features) and runs the in-graph ViT/CLIP extractor.
+    """
+
+    def __init__(
+        self,
+        img_dir: str,
+        img_path_list: List[str],
+        mode: str = "vit_timm",
+        image_size: int = 224,
+        mean: Optional[Tuple[float, ...]] = None,
+        std: Optional[Tuple[float, ...]] = None,
+    ):
+        self.img_dir = img_dir
+        self.img_path_list = list(img_path_list)
+        self.mode = mode
+        self.image_size = image_size
+        self.mean, self.std = mean, std
+        self.size = len(self.img_path_list)
+
+    @classmethod
+    def for_split(
+        cls,
+        flickr30k_root: str | Path,
+        split: str,
+        mode: str = "vit_timm",
+        image_size: int = 224,
+        mean=None,
+        std=None,
+    ) -> "RawImageStore":
+        img_dir = os.path.join(str(flickr30k_root), SPLIT_IMG_DIR[split] + "-images")
+        txt = Path(flickr30k_root) / SPLIT_TXT[split]
+        if not txt.exists():
+            raise FileNotFoundError(f"flickr30k caption list missing: {txt}")
+        names = [l.strip() for l in txt.read_text().splitlines() if l.strip()]
+        return cls(img_dir, names, mode, image_size, mean, std)
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int) -> Tuple[Optional[str], np.ndarray, None]:
+        from PIL import Image
+
+        from mm_s2ut.models.vit import preprocess_images
+
+        path = os.path.join(self.img_dir, self.img_path_list[idx])
+        with Image.open(path) as img:
+            pixels = preprocess_images(
+                [img], self.image_size, mean=self.mean or None,
+                std=self.std or None, mode=self.mode,
+            )[0]
+        return path, pixels, None

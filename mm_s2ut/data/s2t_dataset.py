@@ -17,13 +17,30 @@ from mm_s2ut.data.dataset import S2SItem, SpeechToSpeechDataset
 
 
 class MultiModalSpeechToTextDataset(SpeechToSpeechDataset):
-    """Overrides target encoding: whitespace/BPE-pretokenized text →
-    vocab ids (+ optional lang-tag bos), EOS appended."""
+    """Overrides target encoding: raw transcript → (optional)
+    pre-tokenizer → (optional) SentencePiece → vocab ids (+ optional
+    lang-tag bos), EOS appended — the reference's build_tokenizer/
+    build_bpe dataset chain (tasks/speech_to_text.py:48-49). With no
+    ``bpe_tokenizer`` configured, targets must be pre-tokenized offline."""
+
+    def tokenize(self, text: str) -> str:
+        from mm_s2ut.data.sentencepiece import (
+            apply_pre_tokenizer, build_bpe_tokenizer,
+        )
+
+        text = apply_pre_tokenizer(self.cfg.pre_tokenizer or None, text)
+        if not hasattr(self, "_bpe"):
+            self._bpe = build_bpe_tokenizer(self.cfg.bpe_tokenizer or None)
+        if self._bpe is not None:
+            text = " ".join(self._bpe.encode(text))
+        return text
 
     def __getitem__(self, index: int) -> S2SItem:
         item = super().__getitem__(index)
         row = self.rows[index]
-        target = self.tgt_dict.encode_line(row.tgt_text, append_eos=True).astype(np.int64)
+        target = self.tgt_dict.encode_line(
+            self.tokenize(row.tgt_text), append_eos=True
+        ).astype(np.int64)
         return S2SItem(
             index=item.index, id=item.id, source=item.source, target=target,
             tgt_lang_tag=item.tgt_lang_tag, src_audio_path=item.src_audio_path,

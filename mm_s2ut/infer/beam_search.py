@@ -244,11 +244,17 @@ def tile_state_for_beams(state: Any, beam_size: int) -> Any:
     B, T = kv.shape[0], kv.shape[3]
     shape = list(kv.shape)
     shape[3] = T * beam_size
-    return {
+    out = {
         **state,
         "self_kv": jnp.zeros(shape, kv.dtype),
         "ancestry": jnp.zeros((B, beam_size, T), jnp.int32),
     }
+    for key in ("self_kv_sk", "self_kv_sv"):  # int8-cache dequant scales
+        if key in state:
+            s_shape = list(state[key].shape)
+            s_shape[3] = T * beam_size
+            out[key] = jnp.zeros(s_shape, state[key].dtype)
+    return out
 
 
 def trim_hypothesis(tokens, eos_id: int = 2, pad_id: int = 1):

@@ -79,7 +79,8 @@ class UnitGenerator:
         max_len = self._max_len(int(src_features.shape[1]))
 
         state = self.model.apply(
-            self.params, enc, max_len + 1, method=self.model.decode_init
+            self.params, enc, max_len + 1, method=self.model.decode_init,
+            kv_dtype=getattr(self.cfg, "kv_cache_dtype", None),
         )
         state = tile_state_for_beams(state, K)
 

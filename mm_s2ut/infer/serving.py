@@ -96,6 +96,7 @@ class ContinuousServer:
         max_len_b: int = 200,
         n_img_sources: int = 0,
         img_shapes: Tuple[Tuple[int, int], ...] = (),
+        kv_cache_dtype: str = "bfloat16",
     ):
         if max_len_b >= ring:
             raise ValueError("ring must exceed max_len_b (no wrap within one utterance)")
@@ -109,6 +110,7 @@ class ContinuousServer:
         self.len_penalty = len_penalty
         self.max_len_a, self.max_len_b = max_len_a, max_len_b
         self.img_shapes = tuple(img_shapes)[:n_img_sources] if n_img_sources else ()
+        self.kv_cache_dtype = kv_cache_dtype
         self._decode_chunk = jax.jit(self._decode_chunk_impl)
         self._admit = jax.jit(self._admit_impl)
         self._encode = jax.jit(self._encode_impl)
@@ -134,12 +136,20 @@ class ContinuousServer:
             params, {"encoder_out": enc_out, "encoder_padding_mask": enc_mask,
                      "encoder_states": []},
             T, method=self.model.decode_init,
+            kv_dtype=self.kv_cache_dtype,
         )
         kv = dec["self_kv"]
         shape = list(kv.shape)
         shape[3] = T * K
+        scale_pool = {}
+        for key in ("self_kv_sk", "self_kv_sv"):
+            if key in dec:
+                s_shape = list(dec[key].shape)
+                s_shape[3] = T * K
+                scale_pool[key] = jnp.zeros(s_shape, dec[key].dtype)
         state = {
             **dec,
+            **scale_pool,
             "self_kv": jnp.zeros(shape, kv.dtype),
             "ancestry": jnp.zeros((B, K, T), jnp.int32),
             "g": jnp.zeros((), jnp.int32),

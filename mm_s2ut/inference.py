@@ -35,7 +35,7 @@ def load_checkpoint(model_path: str):
     import orbax.checkpoint as ocp
 
     from mm_s2ut.config import load_config
-    from mm_s2ut.models.mm_s2ut import MMS2UTModel
+    from mm_s2ut.models import build_model_from_config
 
     path = Path(model_path).absolute()
     cfg_file = path / "config.yaml"
@@ -44,7 +44,7 @@ def load_checkpoint(model_path: str):
             f"{cfg_file} not found — pass a Trainer checkpoint directory"
         )
     cfg = load_config(cfg_file)
-    model = MMS2UTModel(cfg.model)
+    model = build_model_from_config(cfg)
 
     mgr = ocp.CheckpointManager(path)
     step = mgr.latest_step()

@@ -174,6 +174,7 @@ class UnitDecoder(nn.Module):
         encoder_out: jnp.ndarray,
         encoder_padding_mask: Optional[jnp.ndarray],
         max_len: int,
+        kv_dtype: Optional[str] = None,
     ) -> DecoderState:
         """Pre-project encoder K/V per layer; allocate ONE stacked
         self-attention cache (B, num_layers, H, max_len·S, 2·Dh) whose
@@ -192,17 +193,34 @@ class UnitDecoder(nn.Module):
             native MXU GEMMs in storage order, and the decode-attention
             Pallas kernel pulls each layer's contiguous (T·S, 2·Dh) slab
             via its BlockSpec index map — an XLA-side per-layer slice
-            would copy the cache every step."""
+            would copy the cache every step.
+
+        ``kv_dtype="int8"`` stores the cache quantized with per-column,
+        per-head dequant scales (``self_kv_sk`` / ``self_kv_sv``,
+        (B, L, H, T) f32): the decode kernel's HBM read — the dominant
+        decode cost — halves, with the scales folded into the score rows
+        (K) and softmax weights (V) so both matmuls stay native
+        (ops/decode_attention.py int8 variant). The current step's own
+        K/V stay full precision."""
         B = encoder_out.shape[0]
         H = self.num_heads
         Dh = self.embed_dim // H
+        int8_cache = kv_dtype == "int8"
+        cache_dt = jnp.int8 if int8_cache else self.dtype
         state: DecoderState = {
             "step": jnp.zeros((), jnp.int32),
             "self_kv": jnp.zeros(
-                (B, self.num_layers, H, max_len, 2 * Dh), self.dtype
+                (B, self.num_layers, H, max_len, 2 * Dh), cache_dt
             ),
             "cross": [layer.cross_attn.precompute_kv(encoder_out) for layer in self.layers],
         }
+        if int8_cache:
+            state["self_kv_sk"] = jnp.zeros(
+                (B, self.num_layers, H, max_len), jnp.float32
+            )
+            state["self_kv_sv"] = jnp.zeros(
+                (B, self.num_layers, H, max_len), jnp.float32
+            )
         state["cross_bias"] = (
             make_padding_bias(encoder_padding_mask, self.dtype)
             if encoder_padding_mask is not None else None
@@ -212,6 +230,7 @@ class UnitDecoder(nn.Module):
     def _self_attn_step(
         self, layer, x: jnp.ndarray, kv: jnp.ndarray, layer_idx: int,
         step_idx: jnp.ndarray, flat_rep: Optional[jnp.ndarray] = None,
+        kv_scales: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ):
         """Single-token self-attention against the read-only history buffer
         plus the freshly projected token — no per-layer cache write (the
@@ -257,11 +276,21 @@ class UnitDecoder(nn.Module):
         if flat_rep is not None:
             from mm_s2ut.ops import decode_attention as da
 
-            fn = da.ancestry_decode_attention if da.supported(kv) else da.reference
-            out = fn(
-                to_bhkd(q), to_bhkd(k_new), to_bhkd(v_new),
-                kv, flat_rep, layer_idx,
-            )  # (B, H, K, Dh)
+            if kv_scales is not None:
+                fn = (
+                    da.ancestry_decode_attention_i8 if da.supported(kv)
+                    else da.reference_i8
+                )
+                out = fn(
+                    to_bhkd(q), to_bhkd(k_new), to_bhkd(v_new),
+                    kv, kv_scales[0], kv_scales[1], flat_rep, layer_idx,
+                )
+            else:
+                fn = da.ancestry_decode_attention if da.supported(kv) else da.reference
+                out = fn(
+                    to_bhkd(q), to_bhkd(k_new), to_bhkd(v_new),
+                    kv, flat_rep, layer_idx,
+                )  # (B, H, K, Dh)
             out = out.transpose(0, 2, 1, 3).reshape(N, 1, H, Dh)
         else:
             # Plain incremental decoding (untiled state, S == 1): slot k's
@@ -272,6 +301,9 @@ class UnitDecoder(nn.Module):
             )[..., None]  # (N, H, 1, 1)
             k_sq = kv[:, layer_idx, :, :, :Dh]  # (B, H, T, Dh)
             v_sq = kv[:, layer_idx, :, :, Dh:]
+            if kv_scales is not None:
+                k_sq = (k_sq.astype(jnp.float32) * kv_scales[0][:, layer_idx, :, :, None]).astype(self.dtype)
+                v_sq = (v_sq.astype(jnp.float32) * kv_scales[1][:, layer_idx, :, :, None]).astype(self.dtype)
             q_t = q.transpose(0, 2, 1, 3)  # (N, H, 1, Dh)
             logits_hist = jnp.einsum(
                 "bhqd,bhtd->bhqt", q_t, k_sq, preferred_element_type=jnp.float32
@@ -312,10 +344,10 @@ class UnitDecoder(nn.Module):
         else:
             flat_rep = None
         S_ = prev_token.shape[0] // kv.shape[0]
-        logits, kv = self._step_core(
+        logits, updates = self._step_core(
             prev_token, state, state["step"], flat_rep, step_idx * S_, step_idx
         )
-        new_state = {**state, "step": step_idx + 1, "self_kv": kv}
+        new_state = {**state, "step": step_idx + 1, **updates}
         return logits, new_state
 
     def serve_step(
@@ -352,12 +384,12 @@ class UnitDecoder(nn.Module):
         flat_rep = jnp.repeat(flat_idx, S_, axis=2)
         pos_offset = jnp.repeat(local_step, S_)  # (B·K,)
         write_pos = jnp.mod(g, T_) * S_
-        logits, kv = self._step_core(
+        logits, updates = self._step_core(
             prev_token, state, pos_offset, flat_rep, write_pos, None
         )
         new_state = {
             **state,
-            "self_kv": kv,
+            **updates,
             "g": g + 1,
             "local_step": jnp.minimum(local_step + 1, T_ - 1),
         }
@@ -373,8 +405,12 @@ class UnitDecoder(nn.Module):
         plain_step_idx,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Shared decode-step body: embed → layers → logits → cache write.
-        Returns (logits (N, V), updated self_kv)."""
+        Returns (logits (N, V), dict of updated cache entries)."""
         kv = state["self_kv"]
+        kv_scales = (
+            (state["self_kv_sk"], state["self_kv_sv"])
+            if "self_kv_sk" in state else None
+        )
         step_idx = plain_step_idx
         x = self.embed(prev_token) * self.embed_scale
         x = self.pos(x, offset=pos_offset)
@@ -384,7 +420,7 @@ class UnitDecoder(nn.Module):
             residual = x
             h = layer.self_attn_layer_norm(x) if self.normalize_before else x
             h, k_new, v_new = self._self_attn_step(
-                layer, h, kv, i, step_idx, flat_rep
+                layer, h, kv, i, step_idx, flat_rep, kv_scales
             )
             new_ks.append(k_new)
             new_vs.append(v_new)
@@ -424,11 +460,38 @@ class UnitDecoder(nn.Module):
             r = r.reshape(B_, S_, len(per_layer), H_, Dh_)
             return r.transpose(0, 2, 3, 1, 4)  # (B, nL, H, S, Dh)
 
-        new_rows = jnp.concatenate(
-            [to_rows(new_ks), to_rows(new_vs)], axis=-1
-        )  # (B, nL, H, S, 2·Dh)
-        kv = jax.lax.dynamic_update_slice_in_dim(kv, new_rows, write_pos, axis=3)
-        return logits, kv
+        k_rows, v_rows = to_rows(new_ks), to_rows(new_vs)  # (B, nL, H, S, Dh)
+        if kv_scales is not None:
+            # Per-row symmetric int8: scale = amax/127 over Dh, written
+            # alongside the rows so the kernel can dequant per column.
+            sk = jnp.max(jnp.abs(k_rows.astype(jnp.float32)), axis=-1) / 127.0
+            sv = jnp.max(jnp.abs(v_rows.astype(jnp.float32)), axis=-1) / 127.0
+            sk = jnp.maximum(sk, 1e-8)
+            sv = jnp.maximum(sv, 1e-8)
+            k_q = jnp.round(k_rows.astype(jnp.float32) / sk[..., None])
+            v_q = jnp.round(v_rows.astype(jnp.float32) / sv[..., None])
+            new_rows = jnp.clip(
+                jnp.concatenate([k_q, v_q], axis=-1), -127, 127
+            ).astype(jnp.int8)
+            updates = {
+                "self_kv": jax.lax.dynamic_update_slice_in_dim(
+                    kv, new_rows, write_pos, axis=3
+                ),
+                "self_kv_sk": jax.lax.dynamic_update_slice_in_dim(
+                    kv_scales[0], sk, write_pos, axis=3
+                ),
+                "self_kv_sv": jax.lax.dynamic_update_slice_in_dim(
+                    kv_scales[1], sv, write_pos, axis=3
+                ),
+            }
+        else:
+            new_rows = jnp.concatenate([k_rows, v_rows], axis=-1)
+            updates = {
+                "self_kv": jax.lax.dynamic_update_slice_in_dim(
+                    kv, new_rows, write_pos, axis=3
+                )
+            }
+        return logits, updates
 
 
 class CTCHead(nn.Module):

@@ -111,22 +111,87 @@ class ResBlock(nn.Module):
         return x
 
 
+def _fold_matrix(k: int, d: int, f: int) -> Tuple[np.ndarray, int, int]:
+    """Constant scatter map for time-folding a SAME dilated conv.
+
+    A conv ``y[t] = Σ_j W[j]·x[t + j·d - p]`` (p = (k-1)·d//2) on a
+    (T, C) signal is exactly a conv on the *reshaped* (T/f, f·C) signal
+    — the reshape is free because C is minor — with folded kernel
+    ``W'[q, r·C+ci, s·C+co] = Σ_j M[j,q,r,s]·W[j,ci,co]`` where for each
+    output lane-phase s and tap j, the input position a = s + j·d - p
+    lands in folded block q = ⌊a/f⌋ at phase r = a mod f.
+
+    Returns (M (k, K', f, f) 0/1 constant, pad_left, pad_right) with
+    K' = q_max − q_min + 1, pad_left = −q_min, pad_right = q_max.
+    """
+    p = (k - 1) * d // 2
+    qs = [(s + j * d - p) // f for s in range(f) for j in range(k)]
+    q_min, q_max = min(qs), max(qs)
+    Kp = q_max - q_min + 1
+    M = np.zeros((k, Kp, f, f), np.float32)
+    for s in range(f):
+        for j in range(k):
+            a = s + j * d - p
+            M[j, a // f - q_min, a % f, s] = 1.0
+    return M, -q_min, q_max
+
+
 class HiFiGANGenerator(nn.Module):
-    """``grouped_mrf`` packs the parallel MRF resblocks into grouped convs
-    at apply time (weights zero-padded to the largest kernel and
-    concatenated per group): at the late stages' small channel counts
-    (16–64) a single-block conv fills only a fraction of the 128 MXU/VPU
-    lanes; running the 3 blocks as one feature_group_count=3 conv triples
-    lane utilization. Parameter structure is unchanged (same checkpoints),
-    and the math is identical because zero taps contribute nothing."""
+    """Small-channel MRF stages are the throughput problem on TPU: an
+    isolated conv at C ≤ 64 offers the MXU only K·N = k·C² useful
+    work per 128×128 tile, so XLA runs the late stages at ≤17% lane
+    utilization (measured: the MRF stacks own ~170 ms of a 412 ms
+    e2e batch at B=32). Two apply-time repackings are provided — both
+    keep the parameter/checkpoint structure unchanged:
+
+    * ``folded_mrf`` (default): time-folding. x (B, T, C) is reshaped —
+      free, C is the minor axis — to (B, T/f, f·C) with f = 128/C, and
+      every MRF conv runs as a dense folded conv whose (K', f·C, f·C)
+      kernel is built from the original weights by a constant scatter
+      (:func:`_fold_matrix`). ~K'·f/k more FLOPs, but they run at full
+      128-lane MXU occupancy, a net win for C ≤ 64; elementwise ops
+      (leaky_relu, residual adds, the block mean) are fold-invariant.
+    * ``grouped_mrf``: feature_group_count packing of the 3 parallel
+      blocks. Measured SLOWER on v5e than three separate convs; kept as
+      a documented, parity-tested variant.
+    """
 
     cfg: HiFiGANConfig
     dtype: Any = jnp.float32
-    # Off by default: measured SLOWER on v5e than three separate convs
-    # (XLA's feature_group_count lowering + the zero-padded kernels cost
-    # more than the lane-utilization win buys). Kept as a documented,
-    # parity-tested variant.
     grouped_mrf: bool = False
+    folded_mrf: bool = False  # opt-in until TPU-measured (see bench notes)
+
+    def _folded_resblock(self, x, name: str, k: int, dils, ch: int, f: int):
+        """One ResBlock computed in (T/f, f·ch) folded space.
+        x: (B, T/f, f·ch) folded input; returns same shape."""
+        params = self.variables["params"][name]
+
+        def fold_w(w, d):
+            M, pl, pr = _fold_matrix(k, d, f)
+            wf = jnp.einsum(
+                "jqrs,jab->qrasb", jnp.asarray(M, w.dtype), w
+            ).reshape(M.shape[1], f * ch, f * ch)
+            return wf, pl, pr
+
+        for i, d in enumerate(dils):
+            h = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            w1 = params[f"convs1_{i}"]["kernel"].astype(self.dtype)
+            b1 = params[f"convs1_{i}"]["bias"].astype(self.dtype)
+            wf, pl, pr = fold_w(w1, d)
+            h = jax.lax.conv_general_dilated(
+                h, wf, window_strides=(1,), padding=[(pl, pr)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + jnp.tile(b1, f)
+            h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+            w2 = params[f"convs2_{i}"]["kernel"].astype(self.dtype)
+            b2 = params[f"convs2_{i}"]["bias"].astype(self.dtype)
+            wf2, pl2, pr2 = fold_w(w2, 1)
+            h = jax.lax.conv_general_dilated(
+                h, wf2, window_strides=(1,), padding=[(pl2, pr2)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + jnp.tile(b2, f)
+            x = x + h
+        return x
 
     def _grouped_mrf_stage(self, x, block_names, ch):
         """x: (B, T, ch); block_names: param names of this stage's
@@ -205,7 +270,22 @@ class HiFiGANGenerator(nn.Module):
                     zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
                 )
             ]
-            if self.grouped_mrf and same_dil and n_res > 1 and not self.is_initializing():
+            f = 128 // ch if ch and 128 % ch == 0 else 0
+            if (
+                self.folded_mrf and f > 1 and x.shape[1] % f == 0
+                and not self.is_initializing()
+            ):
+                xf = x.reshape(x.shape[0], x.shape[1] // f, f * ch)
+                acc = None
+                for j, (rk, rd) in enumerate(
+                    zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+                ):
+                    h = self._folded_resblock(
+                        xf, f"resblocks_{i * n_res + j}", rk, tuple(rd), ch, f
+                    )
+                    acc = h if acc is None else acc + h
+                x = (acc / n_res).reshape(x.shape[0], x.shape[1], ch)
+            elif self.grouped_mrf and same_dil and n_res > 1 and not self.is_initializing():
                 names = [f"resblocks_{i * n_res + j}" for j in range(n_res)]
                 x = self._grouped_mrf_stage(x, names, ch)
             else:

@@ -63,10 +63,33 @@ class MMS2UTModel(nn.Module):
     # mm_s2s_transformer.py:228-258 — here weights arrive via
     # wav2vec2.convert_hf_state_dict into this submodule's params).
     w2v_cfg: Wav2Vec2Config = Wav2Vec2Config()
+    # On-line visual-extractor graph config (multimodal.load_visual_-
+    # extractor_type; reference build_visual_extractor,
+    # mm_s2s_transformer.py:272-290). None ⇒ the type's published default
+    # (ViT-B/16-384 for vit_timm/vit_huggingface, CLIP ViT-B/32 for
+    # vit_openai); weights arrive via vit.convert_timm_state_dict /
+    # convert_clip_state_dict into this submodule's params.
+    vit_cfg: Any = None
 
     def setup(self):
         cfg, mm = self.cfg, self.cfg.multimodal
         dtype = _dtype(cfg)
+        if mm.load_visual_extractor_type:
+            from mm_s2ut.models.vit import (
+                CLIPVisionConfig,
+                CLIPVisionTransformer,
+                ViTConfig,
+                VisionTransformer,
+            )
+
+            if mm.load_visual_extractor_type == "vit_openai":
+                self.visual_extractor = CLIPVisionTransformer(
+                    self.vit_cfg or CLIPVisionConfig(), dtype=dtype,
+                )
+            else:  # vit_timm / vit_huggingface share the timm ViT graph
+                self.visual_extractor = VisionTransformer(
+                    self.vit_cfg or ViTConfig(), dtype=dtype,
+                )
         if cfg.speech_encoder_type == "wav2vec2_multimodal":
             # In-layer fusion variant (reference Wav2Vec2WithMultiModal,
             # fuse.py:450-766): cross-attention to image feats inside the
@@ -254,6 +277,16 @@ class MMS2UTModel(nn.Module):
         cfg, mm = self.cfg, self.cfg.multimodal
         imgs_list = list(imgs_list)
         img_masks_list = list(img_masks_list) or [None] * len(imgs_list)
+
+        if hasattr(self, "visual_extractor") and imgs_list and imgs_list[0].ndim == 4:
+            # On-line extraction from raw (B, S, S, 3) pixels (reference
+            # forward_visual_extractor + `imgs_list[0] = img_feat_list[-1]`,
+            # mm_s2s_transformer.py:292-306,475-478): the LAST hidden state
+            # replaces the first image source; no key padding (mask zeros).
+            vout = self.visual_extractor(imgs_list[0].astype(_dtype(cfg)))
+            feats = vout[-1] if isinstance(vout, list) else vout[0]
+            imgs_list[0] = feats
+            img_masks_list[0] = jnp.zeros(feats.shape[:2], bool)
 
         if mm.only_img:
             # Reference parity: the ablation replaces the encoder output with
@@ -472,9 +505,10 @@ class MMS2UTModel(nn.Module):
 
     # -- incremental decoding (beam search) ------------------------------------
 
-    def decode_init(self, enc: Dict[str, Any], max_len: int):
+    def decode_init(self, enc: Dict[str, Any], max_len: int, kv_dtype=None):
         return self.decoder.init_state(
-            enc["encoder_out"], enc["encoder_padding_mask"], max_len
+            enc["encoder_out"], enc["encoder_padding_mask"], max_len,
+            kv_dtype=kv_dtype,
         )
 
     def decode_step(self, prev_token: jnp.ndarray, state):

@@ -95,7 +95,9 @@ class MultiModalSpeechToSpeechTask:
         if arch_name in registry.available("arch"):
             _, arch_fn = registry.get_arch(arch_name)
             arch_fn(self.cfg.model)
-        return MMS2UTModel(self.cfg.model)
+        from mm_s2ut.models import build_model_from_config
+
+        return build_model_from_config(self.cfg)
 
     def init_params(self, model: MMS2UTModel):
         ds = next(iter(self.datasets.values()), None)
@@ -106,11 +108,17 @@ class MultiModalSpeechToSpeechTask:
         feats = np.zeros((B, T, self.cfg.data.num_mel_bins), np.float32)
         lengths = np.full((B,), T, np.int32)
         prev = np.zeros((B, Tt), np.int32)
-        imgs = tuple(
-            np.zeros((B, 8, d), np.float32)
-            for d in self.cfg.model.multimodal.image_feat_dim[:n_imgs]
-        )
-        masks = tuple(np.zeros((B, 8), bool) for _ in imgs)
+        mm = self.cfg.model.multimodal
+        if mm.load_visual_extractor_type:
+            S = mm.image_input_size
+            imgs = (np.zeros((B, S, S, 3), np.float32),)
+            masks = (np.zeros((B, S), bool),)
+        else:
+            imgs = tuple(
+                np.zeros((B, 8, d), np.float32)
+                for d in mm.image_feat_dim[:n_imgs]
+            )
+            masks = tuple(np.zeros((B, 8), bool) for _ in imgs)
         return model.init(self.root_key, feats, lengths, prev, imgs, masks)
 
     # -- batching -------------------------------------------------------------

@@ -72,3 +72,46 @@ def test_step_zero_attends_only_self():
     q, k_new, v_new, kv, ancestry, flat_rep, _ = _make(step=0, seed=2)
     got = np.asarray(da.reference(q, k_new, v_new, kv, flat_rep, 0))
     np.testing.assert_allclose(got, np.asarray(v_new, np.float32), atol=1e-5)
+
+
+def _quantize(kv):
+    """Per-column symmetric int8 of an interleaved K‖V cache (the
+    UnitDecoder._step_core write-path convention)."""
+    Dh = kv.shape[-1] // 2
+    k_half = np.asarray(kv[..., :Dh], np.float32)
+    v_half = np.asarray(kv[..., Dh:], np.float32)
+    sk = np.maximum(np.abs(k_half).max(-1), 1e-8) / 127.0
+    sv = np.maximum(np.abs(v_half).max(-1), 1e-8) / 127.0
+    k_q = np.clip(np.round(k_half / sk[..., None]), -127, 127)
+    v_q = np.clip(np.round(v_half / sv[..., None]), -127, 127)
+    kv_q = np.concatenate([k_q, v_q], -1).astype(np.int8)
+    return jnp.asarray(kv_q), jnp.asarray(sk), jnp.asarray(sv)
+
+
+def test_reference_i8_close_to_fp():
+    q, k_new, v_new, kv, ancestry, flat_rep, step = _make(seed=3)
+    kv_q, sk, sv = _quantize(kv)
+    for layer in range(2):
+        want = np.asarray(da.reference(q, k_new, v_new, kv, flat_rep, layer))
+        got = np.asarray(
+            da.reference_i8(q, k_new, v_new, kv_q, sk, sv, flat_rep, layer)
+        )
+        # int8 per-column quantization: outputs agree to ~1%.
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=5e-2)
+
+
+def test_kernel_i8_interpret_matches_reference_i8():
+    q, k_new, v_new, kv, ancestry, flat_rep, step = _make(
+        B=2, H=2, K=5, T=24, Dh=16, step=17, seed=4
+    )
+    kv_q, sk, sv = _quantize(kv)
+    for layer in range(2):
+        ref = np.asarray(
+            da.reference_i8(q, k_new, v_new, kv_q, sk, sv, flat_rep, layer)
+        )
+        got = np.asarray(
+            da.ancestry_decode_attention_i8(
+                q, k_new, v_new, kv_q, sk, sv, flat_rep, layer, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)

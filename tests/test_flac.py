@@ -70,7 +70,9 @@ def test_audio_io_dispatch(tmp_path):
     )
 
 
-def test_ogg_rejected_with_clear_error(tmp_path):
+def test_corrupt_ogg_rejected_with_clear_error(tmp_path):
+    # ogg now decodes via the system libvorbisfile (tests/test_ogg.py);
+    # corrupt streams must still fail with a clear error.
     (tmp_path / "x.ogg").write_bytes(b"OggS" + b"\x00" * 64)
-    with pytest.raises(ValueError, match="ogg/vorbis"):
+    with pytest.raises(ValueError, match="libvorbisfile|ogg"):
         get_waveform(str(tmp_path / "x.ogg"))

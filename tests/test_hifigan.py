@@ -150,3 +150,29 @@ def test_grouped_mrf_matches_ungrouped():
     ya = np.asarray(gen_a.apply(params, x))
     yb = np.asarray(gen_b.apply(params, x))
     np.testing.assert_allclose(ya, yb, atol=2e-5, rtol=1e-4)
+
+
+def test_folded_mrf_matches_per_block():
+    """Time-folded MRF (dense (K', f·C, f·C) kernels over the reshaped
+    (T/f, f·C) signal) == per-block MRF, bit-exact in fp32."""
+    gen_a = HiFiGANGenerator(SMALL, folded_mrf=False)
+    gen_b = HiFiGANGenerator(SMALL, folded_mrf=True)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 16, SMALL.model_in_dim), jnp.float32
+    )
+    p = gen_a.init(jax.random.PRNGKey(0), x)
+    ya = gen_a.apply(p, x)
+    yb = gen_b.apply(p, x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-5, rtol=1e-4)
+
+
+def test_fold_matrix_structure():
+    from mm_s2ut.models.hifigan import _fold_matrix
+
+    for k, d, f in [(3, 1, 8), (11, 5, 8), (7, 3, 4), (11, 1, 2)]:
+        M, pl_, pr = _fold_matrix(k, d, f)
+        assert M.shape[0] == k and M.shape[2] == M.shape[3] == f
+        # every (tap, out-phase) lands in exactly one (block, in-phase)
+        assert M.sum() == k * f
+        assert (M.sum(axis=(1, 2)) == 1).all()
+        assert pl_ >= 0 and pr >= 0 and M.shape[1] == pl_ + pr + 1
