@@ -152,7 +152,9 @@ def main():
 
     from __graft_entry__ import _flagship_cfg
     from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
-    from mm_s2ut.models.hifigan import CodeHiFiGAN, HiFiGANConfig
+    from mm_s2ut.models.hifigan import (
+        CodeHiFiGAN, HiFiGANConfig, vocode_bucketed,
+    )
     from mm_s2ut.models.mm_s2ut import MMS2UTModel
     from mm_s2ut.ops.fbank import FbankConfig, batched_log_mel_fbank
 
@@ -218,10 +220,17 @@ def main():
             eos_id=2, bos_id=2, pad_id=1, vocab_size=cfg.vocab_size,
         )
         # Top hypothesis → units (offset-4) → unit HiFi-GAN → waveform.
+        # Frame-bucketed vocoding (models/hifigan.py:vocode_bucketed):
+        # the lax.switch branch for the batch's actual frame need runs,
+        # not the worst-case 4·MAX_LEN budget.
         best = seqs[:, 0, :]  # (B, MAX_LEN)
         units = jnp.clip(best - 4, 0, voc_cfg.num_embeddings - 1)
         n_units = (best >= 4).astype(jnp.int32).sum(-1)
-        wav_out, n_samples = vocoder.apply(voc_params, units, n_units)
+        wav_out, n_samples = vocode_bucketed(
+            voc_cfg, voc_params, units, n_units,
+            buckets=(MAX_LEN + 8, 2 * MAX_LEN, 4 * MAX_LEN),
+            dtype=_jnp.bfloat16,
+        )
         return seqs, scores, wav_out, n_samples
 
     @partial(jax.jit, static_argnames=("n", "beam"))

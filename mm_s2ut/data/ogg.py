@@ -116,7 +116,7 @@ def decode_ogg_bytes(data: bytes) -> Tuple[np.ndarray, int]:
 
     callbacks = _OvCallbacks(read_cb, seek_cb, close_cb, tell_cb)
     # OggVorbis_File is ~940 bytes on LP64; over-allocate for safety.
-    ovf = ctypes.create_string_buffer(4096)
+    ovf = ctypes.create_string_buffer(8192)
     # datasource must be non-NULL: libvorbisfile short-circuits a NULL
     # datasource before ever invoking the callbacks (state lives in the
     # Python closure, so the pointer value itself is unused).
@@ -192,20 +192,20 @@ def encode_ogg_bytes(wav, sample_rate: int, quality: float = 0.4) -> bytes:
         wav = wav[:, None]
     T, C = wav.shape
 
-    vi = ctypes.create_string_buffer(4096)
+    vi = ctypes.create_string_buffer(8192)
     vorbis.vorbis_info_init(vi)
     if venc.vorbis_encode_init_vbr(
         vi, ctypes.c_long(C), ctypes.c_long(sample_rate),
         ctypes.c_float(quality),
     ) != 0:
         raise ValueError("vorbis_encode_init_vbr failed")
-    vc = ctypes.create_string_buffer(4096)
+    vc = ctypes.create_string_buffer(8192)
     vorbis.vorbis_comment_init(vc)
-    vd = ctypes.create_string_buffer(8192)
-    vb = ctypes.create_string_buffer(8192)
+    vd = ctypes.create_string_buffer(32768)
+    vb = ctypes.create_string_buffer(32768)
     vorbis.vorbis_analysis_init(vd, vi)
     vorbis.vorbis_block_init(vd, vb)
-    os_ = ctypes.create_string_buffer(8192)
+    os_ = ctypes.create_string_buffer(32768)
     ogglib.ogg_stream_init(os_, 1)
 
     out = bytearray()

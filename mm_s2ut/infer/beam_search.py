@@ -199,6 +199,9 @@ def beam_search(
         "self_kv": kv_full[:, :, :, : caps[0] * K],
         "ancestry": init_state["ancestry"][:, :, : caps[0]],
     }
+    for skey in ("self_kv_sk", "self_kv_sv"):  # int8 dequant scales
+        if skey in init_state:
+            state0[skey] = init_state[skey][:, :, :, : caps[0] * K]
     carry = (
         jnp.zeros((), jnp.int32), alive_seq, alive_logp,
         fin_seq, fin_scores, fin_flags, state0,
@@ -207,14 +210,25 @@ def beam_search(
         if i > 0:
             st = carry[-1]
             kv = st["self_kv"]
-            kv = jnp.pad(
-                kv,
-                ((0, 0), (0, 0), (0, 0),
-                 (0, cap * K - kv.shape[3]), (0, 0)),
-            )
-            anc = st["ancestry"]
-            anc = jnp.pad(anc, ((0, 0), (0, 0), (0, cap - anc.shape[2])))
-            carry = (*carry[:-1], {**st, "self_kv": kv, "ancestry": anc})
+            grown = {
+                "self_kv": jnp.pad(
+                    kv,
+                    ((0, 0), (0, 0), (0, 0),
+                     (0, cap * K - kv.shape[3]), (0, 0)),
+                ),
+                "ancestry": jnp.pad(
+                    st["ancestry"],
+                    ((0, 0), (0, 0), (0, cap - st["ancestry"].shape[2])),
+                ),
+            }
+            for skey in ("self_kv_sk", "self_kv_sv"):
+                if skey in st:
+                    grown[skey] = jnp.pad(
+                        st[skey],
+                        ((0, 0), (0, 0), (0, 0),
+                         (0, cap * K - st[skey].shape[3])),
+                    )
+            carry = (*carry[:-1], {**st, **grown})
         seg_end = min(cap, max_len)
         carry = jax.lax.while_loop(cond_until(seg_end), body, carry)
     step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, _ = carry

@@ -187,8 +187,7 @@ class ContinuousServer:
 
         cross = [
             {
-                "k": merge(o["k"], n["k"], o["k"].ndim - 1),
-                "v": merge(o["v"], n["v"], o["v"].ndim - 1),
+                "kv": merge(o["kv"], n["kv"], o["kv"].ndim - 1),
                 "index": n["index"],
             }
             for o, n in zip(state["cross"], dec["cross"])

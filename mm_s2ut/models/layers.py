@@ -191,8 +191,14 @@ class MultiHeadAttention(nn.Module):
 
         new_cache = None
         if cache is not None and static_kv:
-            k, v = cache["k"], cache["v"]
             new_cache = cache
+            if "kv" in cache:
+                # Decode-time cross-attention over the packed (B, H, S, 2Dh)
+                # cache (precompute_kv): storage order IS the contraction
+                # order for both matmuls — no per-step transposes inside
+                # the decode loop — and beams share the B-sized buffer.
+                return self._packed_cross(q, cache["kv"], bias, query, new_cache)
+            k, v = cache["k"], cache["v"]
             if k.shape[0] != query.shape[0]:
                 # Beam-broadcast cross-attention: K/V stay at batch size B
                 # while queries carry B·K beams — reads of the encoder K/V
@@ -241,12 +247,34 @@ class MultiHeadAttention(nn.Module):
         out = out.reshape(BK, Tq, self.embed_dim)
         return self.out_proj(out), cache, None
 
+    def _packed_cross(self, q, kv, bias, query, cache):
+        """q: (B·K, 1, H, Dh) pre-scaled; kv: (B, H, S, 2·Dh) interleaved."""
+        B, H, S, _ = kv.shape
+        Dh = kv.shape[-1] // 2
+        BK, Tq = q.shape[:2]
+        K = BK // B
+        k = kv[..., :Dh]
+        v = kv[..., Dh:]
+        qb = q.reshape(B, K * Tq, H, Dh)
+        logits = jnp.einsum(
+            "bkhd,bhsd->bhks", qb, k, preferred_element_type=jnp.float32
+        )  # (B, H, K·Tq, S)
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhks,bhsd->bkhd", weights, v)
+        out = out.reshape(BK, Tq, self.embed_dim)
+        return self.out_proj(out), cache, None
+
     def precompute_kv(self, key: jnp.ndarray, value: Optional[jnp.ndarray] = None) -> Cache:
-        """Pre-project encoder states for cached cross-attention."""
+        """Pre-project encoder states for cached cross-attention, packed
+        as ONE interleaved (B, H, S, 2·Dh) buffer in decode storage order
+        (the transpose happens once here, not per decode step)."""
         value = key if value is None else value
+        k = self._split(self.k_proj(key)).transpose(0, 2, 1, 3)  # (B, H, S, Dh)
+        v = self._split(self.v_proj(value)).transpose(0, 2, 1, 3)
         return {
-            "k": self._split(self.k_proj(key)),
-            "v": self._split(self.v_proj(value)),
+            "kv": jnp.concatenate([k, v], axis=-1),
             "index": jnp.asarray(key.shape[1], jnp.int32),
         }
 

@@ -8,10 +8,12 @@ stage real and no external assets (no network, no pretrained weights):
   1. synthesize a speech↔unit↔image corpus (units over 48 classes; each
      unit names a two-letter word, so unit sequences have a text reading);
   2. train the flagship mm_s2ut_transformer on it (cli.train);
-  3. fix a random-weight CodeHiFiGAN (fairseq-format .pt) as THE
-     deterministic unit→waveform map of this synthetic world;
+  3. fix a structured-weight CodeHiFiGAN (fairseq-format .pt, delta
+     kernels + k==r upsampling ⇒ context-free unit signatures — see
+     build_vocoder) as THE deterministic unit→waveform map of this world;
   4. train a tiny wav2vec2-CTC ASR (torch, CPU) to invert that vocoder —
-     wav → letters — so ASR-BLEU measures real pipeline quality;
+     wav → words — so ASR-BLEU measures real pipeline quality (a correct
+     chain scores >90; breakage at any stage collapses it);
   5. run cli.inference_all (generate → units → vocode → ASR → BLEU) on
      valid/test and report BLEU, plus direct unit-BLEU of D- lines vs
      target units.
@@ -142,14 +144,26 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
 VOC = dict(
     num_embeddings=N_UNITS, embedding_dim=16, model_in_dim=16,
     upsample_initial_channel=32, upsample_rates=[5, 4, 4, 2],
-    upsample_kernel_sizes=[11, 8, 8, 4], resblock_kernel_sizes=[3],
+    # kernel == rate ⇒ each ConvTranspose output sample depends on
+    # exactly ONE input frame (trim (k-r)//2 = 0, no tap overlap).
+    upsample_kernel_sizes=[5, 4, 4, 2], resblock_kernel_sizes=[3],
     resblock_dilation_sizes=[[1, 2]], dur_prediction=True,
     var_pred_hidden_dim=16, var_pred_kernel_size=3, var_pred_dropout=0.0,
 )  # hop = 5*4*4*2 = 160 samples/frame
 
 
 def build_vocoder(root: Path):
-    """Random-weight fairseq-format CodeHiFiGAN .pt (+ config.json)."""
+    """Deterministic fairseq-format CodeHiFiGAN .pt (+ config.json) whose
+    unit→waveform map is CONTEXT-FREE: every conv kernel is a delta at
+    its center tap (random channel-mixing matrix, zeros elsewhere) and
+    the upsample kernels have k == r, so unit u always renders the same
+    160-sample signature regardless of its neighbours. The graph, the
+    weight-norm-folding converter, duration prediction and length
+    regulation all run for real — only the WEIGHTS are structured, so
+    the synthetic world's ASR can exactly invert the map and ASR-BLEU
+    becomes a faithful chain-quality meter (round-2 verdict item 2: a
+    random-weight vocoder's conv stacks fold neighbour units into every
+    segment, which no small ASR can undo on fresh contexts)."""
     import torch
 
     torch.manual_seed(7)
@@ -157,7 +171,9 @@ def build_vocoder(root: Path):
     sd = {}
 
     def conv(name, out_ch, in_ch, k, scale=1.0):
-        sd[f"{name}.weight"] = torch.randn(out_ch, in_ch, k) * scale
+        w = torch.zeros(out_ch, in_ch, k)
+        w[:, :, k // 2] = torch.randn(out_ch, in_ch) * scale
+        sd[f"{name}.weight"] = w
         sd[f"{name}.bias"] = torch.randn(out_ch) * 0.01
 
     sd["dict.weight"] = torch.randn(c["num_embeddings"], c["embedding_dim"])
@@ -165,14 +181,17 @@ def build_vocoder(root: Path):
     ch = c["upsample_initial_channel"]
     for i, (r, k) in enumerate(zip(c["upsample_rates"], c["upsample_kernel_sizes"])):
         out = ch // 2
-        sd[f"ups.{i}.weight"] = torch.randn(ch, out, k) * 0.2  # ConvT (in,out,k)
+        # Full random ConvT kernel: with k == r its taps never overlap
+        # across input frames, so context-freeness is preserved while
+        # every output phase gets a distinct mixing matrix.
+        sd[f"ups.{i}.weight"] = torch.randn(ch, out, k) * (0.5 / np.sqrt(ch))
         sd[f"ups.{i}.bias"] = torch.randn(out) * 0.01
         for j, d in enumerate(c["resblock_dilation_sizes"][0]):
             rk = c["resblock_kernel_sizes"][0]
-            conv(f"resblocks.{i}.convs1.{j}", out, out, rk, 0.15)
-            conv(f"resblocks.{i}.convs2.{j}", out, out, rk, 0.15)
+            conv(f"resblocks.{i}.convs1.{j}", out, out, rk, 0.3 / np.sqrt(out))
+            conv(f"resblocks.{i}.convs2.{j}", out, out, rk, 0.3 / np.sqrt(out))
         ch = out
-    conv("conv_post", 1, ch, 7, 0.3)
+    conv("conv_post", 1, ch, 7, 1.0 / np.sqrt(ch))
     # Duration predictor: near-zero proj → log_dur≈0 → duration 1/unit.
     h, k = c["var_pred_hidden_dim"], c["var_pred_kernel_size"]
     conv("dur_predictor.conv1.0", h, c["embedding_dim"], k, 0.1)

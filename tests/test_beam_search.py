@@ -130,3 +130,34 @@ def test_int8_kv_cache_matches_bf16_decode():
     np.testing.assert_allclose(
         np.asarray(scores_q), np.asarray(scores_fp), atol=5e-2
     )
+
+
+def test_int8_kv_cache_across_segment_growth():
+    """The segmented cache growth (64 → 128 → …) must carry the int8
+    dequant scale buffers along with self_kv (regression: scales stayed
+    at full size while the cache was sliced, shape-mismatching the
+    kernel)."""
+    dec, params, enc_out, enc_mask = make_decoder()
+    K, max_len = 2, 70  # crosses the 64-entry first segment
+
+    def run(kv_dtype):
+        state = dec.apply(
+            params, enc_out, enc_mask, max_len + 1,
+            method=UnitDecoder.init_state, kv_dtype=kv_dtype,
+        )
+        state = tile_state_for_beams(state, K)
+
+        def step_fn(tokens, st):
+            return dec.apply(params, tokens, st, method=UnitDecoder.step)
+
+        return beam_search(
+            step_fn, state, 1, beam_size=K, max_len=max_len,
+            eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        )
+
+    seqs_q, scores_q = run("int8")
+    seqs_fp, scores_fp = run(None)
+    assert np.isfinite(np.asarray(scores_q)).all()
+    np.testing.assert_allclose(
+        np.asarray(scores_q), np.asarray(scores_fp), atol=6e-2
+    )

@@ -176,3 +176,35 @@ def test_fold_matrix_structure():
         assert M.sum() == k * f
         assert (M.sum(axis=(1, 2)) == 1).all()
         assert pl_ >= 0 and pr >= 0 and M.shape[1] == pl_ + pr + 1
+
+
+def test_vocode_bucketed_matches_direct():
+    """Bucketed vocoding == the direct call at a covering budget, and the
+    branch selection tracks the batch's actual frame need."""
+    from mm_s2ut.models.hifigan import vocode_bucketed
+
+    model = CodeHiFiGAN(SMALL, max_frames=32)
+    units = jnp.asarray([[1, 5, 7, 2, 0, 0], [3, 3, 9, 9, 9, 1]])
+    lengths = jnp.asarray([4, 6])
+    params = model.init(jax.random.PRNGKey(0), units, lengths)
+    want_wav, want_n = model.apply(params, units, lengths)
+    got_wav, got_n = vocode_bucketed(
+        SMALL, params, units, lengths, buckets=(8, 16, 32),
+    )
+    np.testing.assert_array_equal(np.asarray(want_n), np.asarray(got_n))
+    hop = SMALL.hop_length
+    for i in range(2):
+        n = int(want_n[i])
+        np.testing.assert_allclose(
+            np.asarray(got_wav)[i, :n], np.asarray(want_wav)[i, :n],
+            atol=1e-5, rtol=1e-4,
+        )
+    # Output is padded to the largest bucket.
+    assert got_wav.shape[1] == 32 * hop
+    # Under jit too (lax.switch with traced index).
+    j_wav, j_n = jax.jit(
+        lambda p, u, l: vocode_bucketed(SMALL, p, u, l, buckets=(8, 16, 32))
+    )(params, units, lengths)
+    np.testing.assert_allclose(
+        np.asarray(j_wav), np.asarray(got_wav), atol=1e-5, rtol=1e-4
+    )
