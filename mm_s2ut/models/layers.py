@@ -249,21 +249,22 @@ class MultiHeadAttention(nn.Module):
 
     def _packed_cross(self, q, kv, bias, query, cache):
         """q: (B·K, 1, H, Dh) pre-scaled; kv: (B, H, S, 2·Dh) interleaved."""
+        from mm_s2ut.ops import decode_attention as da
+
         B, H, S, _ = kv.shape
         Dh = kv.shape[-1] // 2
         BK, Tq = q.shape[:2]
         K = BK // B
-        k = kv[..., :Dh]
-        v = kv[..., Dh:]
-        qb = q.reshape(B, K * Tq, H, Dh)
-        logits = jnp.einsum(
-            "bkhd,bhsd->bhks", qb, k, preferred_element_type=jnp.float32
-        )  # (B, H, K·Tq, S)
-        if bias is not None:
-            logits = logits + bias.astype(jnp.float32)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhks,bhsd->bkhd", weights, v)
-        out = out.reshape(BK, Tq, self.embed_dim)
+        qb = q.reshape(B, K * Tq, H, Dh).transpose(0, 2, 1, 3)  # (B,H,K·Tq,Dh)
+        bias_row = (
+            jnp.zeros((B, S), jnp.float32) if bias is None
+            else bias.astype(jnp.float32).reshape(B, -1, S)[:, -1]
+        )
+        if da.cross_supported(kv):
+            out = da.cross_decode_attention(qb, kv, bias_row)
+        else:
+            out = da.cross_reference(qb, kv, bias_row)
+        out = out.transpose(0, 2, 1, 3).reshape(BK, Tq, self.embed_dim)
         return self.out_proj(out), cache, None
 
     def precompute_kv(self, key: jnp.ndarray, value: Optional[jnp.ndarray] = None) -> Cache:

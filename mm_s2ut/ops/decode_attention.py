@@ -217,6 +217,79 @@ def ancestry_decode_attention(
     return out
 
 
+def _kernel_cross(q_ref, kv_ref, bias_ref, o_ref):
+    # One program per batch row: all H heads of the packed encoder
+    # K‖V slab (H, S, 2·Dh) in one DMA; both contractions H-batched
+    # (same rationale as _kernel). bias (1, S) f32 row: 0 on valid
+    # source positions, -inf on padding.
+    H, K, Dh = q_ref.shape
+    q = q_ref[...]
+    kv = kv_ref[...]  # (H, S, 2·Dh)
+    k2 = kv[:, :, :Dh]
+    v2 = kv[:, :, Dh:]
+    scores = jax.lax.dot_general(
+        q, k2, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (H, K, S)
+    scores = scores + bias_ref[...][None]  # (1, 1, S) → broadcast (H, K, S)
+    m = jnp.max(scores, axis=2, keepdims=True)
+    p = jnp.exp(scores - m)
+    w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(v2.dtype)
+    out = jax.lax.dot_general(
+        w, v2, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cross_decode_attention(
+    q: jnp.ndarray,     # (B, H, K, Dh), already scaled by Dh^-0.5
+    kv: jnp.ndarray,    # (B, H, S, 2·Dh) packed encoder K‖V
+    bias: jnp.ndarray,  # (B, S) f32 additive mask (0 valid / -inf pad)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused decode-time cross-attention (one HBM read of the encoder
+    K/V per (batch, layer, step), both matmuls in-kernel — replaces the
+    two-einsum XLA path whose intermediates round-trip HBM)."""
+    B, H, K, Dh = q.shape
+    S = kv.shape[2]
+    return pl.pallas_call(
+        _kernel_cross,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, S, 2 * Dh), lambda b: (b, 0, 0, 0)),
+            # (B, 1, S) so the block's last two dims are full array dims
+            # (Mosaic's tiling rule rejects a lone squeezed+250 block).
+            pl.BlockSpec((None, 1, S), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
+        interpret=interpret,
+    )(q, kv, bias.astype(jnp.float32)[:, None, :])
+
+
+def cross_supported(kv: jnp.ndarray) -> bool:
+    """Pallas cross kernel: real TPU, slab fits VMEM."""
+    if jax.devices()[0].platform in ("cpu", "gpu"):
+        return False
+    H, S, lanes = kv.shape[1], kv.shape[2], kv.shape[3]
+    return 2 * H * S * lanes * jnp.dtype(kv.dtype).itemsize < 12 * 2**20
+
+
+def cross_reference(q, kv, bias):
+    """XLA reference of the fused cross-attention contraction."""
+    Dh = q.shape[-1]
+    k2 = kv[..., :Dh]
+    v2 = kv[..., Dh:]
+    scores = jnp.einsum(
+        "bhkd,bhsd->bhks", q, k2, preferred_element_type=jnp.float32
+    )
+    scores = scores + bias.astype(jnp.float32)[:, None, None, :]
+    w = jax.nn.softmax(scores, axis=-1).astype(v2.dtype)
+    out = jnp.einsum("bhks,bhsd->bhkd", w, v2)
+    return out.astype(q.dtype)
+
+
 def supported(kv: jnp.ndarray) -> bool:
     """Pallas path: real TPU only (tests exercise the kernel in
     interpreter mode; CPU/GPU fall back to the XLA formulation), and only

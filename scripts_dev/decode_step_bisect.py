@@ -23,7 +23,10 @@ import mm_s2ut.models.decoder as D
 from mm_s2ut.infer.beam_search import tile_state_for_beams
 from mm_s2ut.models.decoder import UnitDecoder
 
-B, T_SRC, MAX_LEN, V, BEAM = 32, 250, 200, 1004, 5
+import os
+B, T_SRC, MAX_LEN, V = 32, 250, 200, 1004
+BEAM = int(os.environ.get("BISECT_BEAM", "5"))
+KV = os.environ.get("BISECT_KV") or None
 
 
 def build():
@@ -33,7 +36,7 @@ def build():
     enc_mask = jnp.zeros((B, T_SRC), bool)
     params = dec.init(jax.random.PRNGKey(0), jnp.zeros((B, 3), jnp.int32), enc_out, enc_mask)
     state = dec.apply(params, enc_out, enc_mask, MAX_LEN + 1,
-                      method=UnitDecoder.init_state)
+                      method=UnitDecoder.init_state, kv_dtype=KV)
     state = tile_state_for_beams(state, BEAM)
     return dec, params, state
 

@@ -19,7 +19,9 @@ from mm_s2ut.models.mm_s2ut import MMS2UTModel
 from mm_s2ut.ops.fbank import FbankConfig, batched_log_mel_fbank
 
 B = int(os.environ.get("PROBE_B", "8"))
-BEAM, MAX_LEN, SR, SECONDS = 5, 200, 16000, 10
+BEAM = int(os.environ.get("PROBE_BEAM", "5"))
+KV = os.environ.get("PROBE_KV") or None
+MAX_LEN, SR, SECONDS = 200, 16000, 10
 N1, N2 = 2, 8
 
 cfg = _flagship_cfg()
@@ -88,7 +90,7 @@ def stage_beam(n):
         def body(c, _):
             enc = {"encoder_out": enc_out + c, "encoder_padding_mask": enc_mask,
                    "encoder_states": []}
-            st = model.apply(params, enc, MAX_LEN + 1, method=model.decode_init)
+            st = model.apply(params, enc, MAX_LEN + 1, method=model.decode_init, kv_dtype=KV)
             st = tile_state_for_beams(st, BEAM)
             seqs, scores = beam_search(
                 lambda t, s: model.apply(params, t, s, method=model.decode_step),
@@ -105,7 +107,11 @@ def stage_vocode(n):
     @jax.jit
     def run(voc_params, units, n_units):
         def body(c, _):
-            wav, ns = vocoder.apply(voc_params, units + c, n_units)
+            from mm_s2ut.models.hifigan import vocode_bucketed
+            wav, ns = vocode_bucketed(
+                voc_cfg, voc_params, units + c, n_units,
+                buckets=(MAX_LEN + 8, 2 * MAX_LEN, 4 * MAX_LEN),
+                dtype=jnp.bfloat16)
             return c + (ns.sum() > 0).astype(jnp.int32) * 0, wav.sum()
         out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=n)
         return out

@@ -115,3 +115,32 @@ def test_kernel_i8_interpret_matches_reference_i8():
             )
         )
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_cross_kernel_interpret_matches_reference():
+    rng = np.random.RandomState(5)
+    B, H, K, S, Dh = 2, 2, 5, 24, 16
+    q = jnp.asarray(rng.randn(B, H, K, Dh), jnp.float32) * 0.3
+    kv = jnp.asarray(rng.randn(B, H, S, 2 * Dh), jnp.float32) * 0.3
+    mask = rng.rand(B, S) < 0.2
+    bias = jnp.where(jnp.asarray(mask), -1e9, 0.0).astype(jnp.float32)
+    ref = np.asarray(da.cross_reference(q, kv, bias))
+    got = np.asarray(da.cross_decode_attention(q, kv, bias, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_cross_reference_matches_plain_attention():
+    """The packed-layout contraction equals ordinary softmax attention."""
+    rng = np.random.RandomState(6)
+    B, H, K, S, Dh = 2, 3, 4, 10, 8
+    q = rng.randn(B, H, K, Dh).astype(np.float32)
+    k = rng.randn(B, H, S, Dh).astype(np.float32)
+    v = rng.randn(B, H, S, Dh).astype(np.float32)
+    kv = jnp.asarray(np.concatenate([k, v], -1))
+    bias = jnp.zeros((B, S), jnp.float32)
+    got = np.asarray(da.cross_reference(jnp.asarray(q), kv, bias))
+    scores = np.einsum("bhkd,bhsd->bhks", q, k)
+    w = np.exp(scores - scores.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    want = np.einsum("bhks,bhsd->bhkd", w, v)
+    np.testing.assert_allclose(got, want, atol=1e-5)
