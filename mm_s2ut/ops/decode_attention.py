@@ -220,8 +220,10 @@ def ancestry_decode_attention(
 def _kernel_cross(q_ref, kv_ref, bias_ref, o_ref):
     # One program per batch row: all H heads of the packed encoder
     # K‖V slab (H, S, 2·Dh) in one DMA; both contractions H-batched
-    # (same rationale as _kernel). bias (1, S) f32 row: 0 on valid
-    # source positions, -inf on padding.
+    # (same rationale as _kernel). bias (K, S) f32: 0 on valid source
+    # positions, -inf on padding — pre-broadcast over K on the host
+    # side because an in-kernel sublane broadcast that crosses a tile
+    # boundary (K > 8) crashes Mosaic ("limits[i] <= dim(i)").
     H, K, Dh = q_ref.shape
     q = q_ref[...]
     kv = kv_ref[...]  # (H, S, 2·Dh)
@@ -230,7 +232,7 @@ def _kernel_cross(q_ref, kv_ref, bias_ref, o_ref):
     scores = jax.lax.dot_general(
         q, k2, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (H, K, S)
-    scores = scores + bias_ref[...][None]  # (1, 1, S) → broadcast (H, K, S)
+    scores = scores + bias_ref[...][None]  # (K, S) → broadcast over H only
     m = jnp.max(scores, axis=2, keepdims=True)
     p = jnp.exp(scores - m)
     w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(v2.dtype)
@@ -252,20 +254,19 @@ def cross_decode_attention(
     two-einsum XLA path whose intermediates round-trip HBM)."""
     B, H, K, Dh = q.shape
     S = kv.shape[2]
+    bias_k = jnp.broadcast_to(bias.astype(jnp.float32)[:, None, :], (B, K, S))
     return pl.pallas_call(
         _kernel_cross,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec((None, H, S, 2 * Dh), lambda b: (b, 0, 0, 0)),
-            # (B, 1, S) so the block's last two dims are full array dims
-            # (Mosaic's tiling rule rejects a lone squeezed+250 block).
-            pl.BlockSpec((None, 1, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, K, S), lambda b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
         interpret=interpret,
-    )(q, kv, bias.astype(jnp.float32)[:, None, :])
+    )(q, kv, bias_k)
 
 
 def cross_supported(kv: jnp.ndarray) -> bool:
