@@ -126,10 +126,17 @@ def beam_search(
         logp = jnp.where(step + 1 >= max_len, eos_only[None, None], logp)
 
         cand = alive_logp[:, :, None] + logp  # (B, K, V)
-        flat = cand.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)
-        top_beam = top_idx // V  # (B, 2K)
-        top_tok = top_idx % V
+        # Exact two-stage top-2K: at most 2K of the global top-2K can share
+        # one beam row, so the per-beam top-2K pool provably contains them.
+        # K rows of length V sort much faster on TPU than one row of K·V
+        # (top_k cost grows superlinearly with row length), and tie-breaking
+        # (value desc, then beam-major flat index) matches the single-stage
+        # form: stage 1 orders within-beam ties by vocab index, stage 2
+        # orders cross-beam ties by (beam, rank) — both beam-major.
+        s1, i1 = jax.lax.top_k(cand, 2 * K)  # (B, K, 2K) over V
+        top_scores, pidx = jax.lax.top_k(s1.reshape(B, 2 * K * K), 2 * K)
+        top_beam = pidx // (2 * K)  # (B, 2K)
+        top_tok = jnp.take_along_axis(i1.reshape(B, 2 * K * K), pidx, axis=1)
 
         # Candidate sequences (B, 2K, L+1).
         seq2k = jnp.take_along_axis(alive_seq, top_beam[..., None], axis=1)

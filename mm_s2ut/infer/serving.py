@@ -245,10 +245,13 @@ class ContinuousServer:
             logp = jnp.where(at_budget[:, None, None], eos_only[None, None], logp)
 
             cand = st["alive_logp"][:, :, None] + logp
-            flat = cand.reshape(B, K * V)
-            top_scores, top_idx = jax.lax.top_k(flat, 2 * K)
-            top_beam = top_idx // V
-            top_tok = top_idx % V
+            # Exact two-stage top-2K (see infer/beam_search.py): per-beam
+            # top-2K over V, then top-2K over the 2K² pool — identical
+            # selection, much shorter TPU sort rows.
+            s1, i1 = jax.lax.top_k(cand, 2 * K)  # (B, K, 2K)
+            top_scores, pidx = jax.lax.top_k(s1.reshape(B, 2 * K * K), 2 * K)
+            top_beam = pidx // (2 * K)
+            top_tok = jnp.take_along_axis(i1.reshape(B, 2 * K * K), pidx, axis=1)
 
             seq2k = jnp.take_along_axis(st["alive_seq"], top_beam[..., None], axis=1)
             # per-slot write position local+1 (one-hot merge, (B,2K,T))
