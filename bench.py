@@ -8,10 +8,12 @@ max-len-b 200 — scripts/textless/2_inference.sh) → CodeHiFiGAN unit
 vocoder with duration prediction → waveforms. All stages run inside one
 compiled program per batch.
 
-Methodology: the whole pipeline is wrapped in ``lax.scan`` over N batches
-inside ONE compiled program, and throughput is computed from the marginal
-time between an N1-iteration and an N2-iteration run (two-point measure),
-which cancels the fixed dispatch/relay latency of the dev-tunnel TPU.
+Methodology: the whole pipeline is wrapped in ``lax.scan`` over N1=2
+batches inside ONE compiled program per operating point; longer workloads
+dispatch that same program m times back-to-back (device execution
+serializes), and throughput is the marginal time between an m=1 and an
+m=5 run (two-point measure), which cancels the fixed dispatch/relay
+latency of the dev-tunnel TPU without compiling a second, longer scan.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 we normalize against an estimated 10 utt/s for fairseq-generate at the
@@ -169,7 +171,7 @@ def main():
     BEAM = int(os.environ.get("MM_BENCH_BEAM", "10"))
     KV_DTYPE = os.environ.get("MM_BENCH_KV", "int8")
     MAX_LEN = 200
-    N1, N2 = 2, 10
+    N1 = 2  # batches per compiled scan program
 
     cfg = _flagship_cfg()
     model = MMS2UTModel(cfg)
@@ -247,19 +249,49 @@ def main():
         )
         return out
 
-    wavs_n2 = (rng.randn(N2, B, SECONDS * SR) * 0.1).astype(np.float32)
-    args = (params, voc_params, jnp.asarray(wavs_n2), jnp.asarray(wav_lengths),
+    wavs_n1 = (rng.randn(N1, B, SECONDS * SR) * 0.1).astype(np.float32)
+    args = (params, voc_params, jnp.asarray(wavs_n1), jnp.asarray(wav_lengths),
             tuple(jnp.asarray(x) for x in imgs),
             tuple(jnp.asarray(x) for x in img_masks))
 
-    def timed(n, beam=None, reps=2):
-        # warmup/compile
-        float(run_n(*args, n=n, beam=beam))
+    import sys
+    t_start = time.perf_counter()
+
+    def _log(msg):
+        if os.environ.get("MM_BENCH_QUIET"):
+            return
+        print(f"[bench +{time.perf_counter() - t_start:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    # ONE compiled program per operating point (the scan body at n=N1);
+    # longer workloads dispatch it m times back-to-back — device execution
+    # serializes, so t(m) grows linearly and the two-point marginal still
+    # cancels the fixed dispatch/relay latency. (Compiling a second, longer
+    # scan per point doubled the cold-cache compile time: each beam-10
+    # pipeline program takes minutes of XLA time.)
+    def warm(beam):
+        _log(f"compile/warm run_n(n={N1}, beam={beam or BEAM})")
+        float(run_n(*args, n=N1, beam=beam))
+        _log(f"compiled beam={beam or BEAM}")
+
+    beams = [None] if os.environ.get("MM_BENCH_SKIP_EXTRAS") else [None, 5]
+    import concurrent.futures as _fut
+    with _fut.ThreadPoolExecutor(len(beams)) as pool:
+        # XLA compilation releases the GIL; compile the operating points
+        # concurrently (execution of the warm call itself serializes on
+        # the device, which is fine — it's one batch each).
+        list(pool.map(warm, beams))
+
+    M1, M2 = 1, 5
+
+    def timed(m, beam=None, reps=2):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            # float() forces a host fetch = completion
-            float(run_n(*args, n=n, beam=beam))
+            out = None
+            for _ in range(m):
+                out = run_n(*args, n=N1, beam=beam)
+            float(out)  # forces a host fetch = all m completed
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -267,10 +299,10 @@ def main():
         # Two-point marginal timing with a jitter guard: retry once if the
         # relay hiccup makes the long run look faster than the short one.
         for attempt in range(2):
-            t1, t2 = timed(N1, beam), timed(N2, beam)
+            t1, t2 = timed(M1, beam), timed(M2, beam)
             if t2 > t1:
                 break
-        return max(t2 - t1, 1e-9) / (N2 - N1), t1, t2
+        return max(t2 - t1, 1e-9) / ((M2 - M1) * N1), t1, t2
 
     marginal, t1, t2 = marginal_sec()
     utt_per_sec = B / marginal

@@ -59,7 +59,9 @@ def timeit2(f, *a):
 def full_search(n):
     @jax.jit
     def run(params, enc):
-        st = model.apply(params, enc, n + 1, method=model.decode_init)
+        st = model.apply(
+            params, enc, n + 1, method=model.decode_init, kv_dtype=KV_DTYPE
+        )
         st = bs.tile_state_for_beams(st, BEAM)
         seqs, scores = bs.beam_search(
             lambda t, s: model.apply(params, t, s, method=model.decode_step),
@@ -71,10 +73,15 @@ def full_search(n):
 
 
 # --- scan(decode_step) only --------------------------------------------------
+KV_DTYPE = os.environ.get("PROBE_KV")  # None | "int8"
+
+
 def step_only(n):
     @jax.jit
     def run(params, enc):
-        st = model.apply(params, enc, CAP, method=model.decode_init)
+        st = model.apply(
+            params, enc, CAP, method=model.decode_init, kv_dtype=KV_DTYPE
+        )
         st = bs.tile_state_for_beams(st, BEAM)
         tok = jnp.full((N, 1), 5, jnp.int32)
 
@@ -166,14 +173,18 @@ def comp_logits(n):
     return lambda x=x_row: run(x)
 
 
-print(f"B={B} K={BEAM} CAP={CAP}")
-for name, f, args in [
-    ("scan(decode_step)", step_only, (params, enc)),
-    ("full beam_search ", full_search, (params, enc)),
-    ("kernel x6        ", comp_kernel, ()),
-    ("gemms x6         ", comp_gemms, ()),
-    ("cross x6         ", comp_cross, ()),
-    ("logits           ", comp_logits, ()),
-]:
+ROWS = {
+    "step": ("scan(decode_step)", step_only, (params, enc)),
+    "search": ("full beam_search ", full_search, (params, enc)),
+    "kernel": ("kernel x6        ", comp_kernel, ()),
+    "gemms": ("gemms x6         ", comp_gemms, ()),
+    "cross": ("cross x6         ", comp_cross, ()),
+    "logits": ("logits           ", comp_logits, ()),
+}
+only = os.environ.get("PROBE_ONLY")
+keys = only.split(",") if only else list(ROWS)
+print(f"B={B} K={BEAM} CAP={CAP} KV={KV_DTYPE}")
+for key in keys:
+    name, f, args = ROWS[key]
     dt = timeit2(f, *args)
     print(f"{name}: {dt*1e3:.3f} ms/step")
