@@ -65,7 +65,7 @@ def build(mode: str):
                 logits = acc.reshape(B, -1)[:, :V]
                 if mode in ("while_fin", "while_all", "while_complex_cond",
                             "while_gather"):
-                    s1, i1 = jax.lax.top_k(logits, K)
+                    s1, i1 = jax.lax.top_k(logits.astype(jnp.float32), K)
                     alive_logp = s1[:, :K]
                     fin_flags = fin_flags | (i1[:, :K] == 2)
                     fin_scores = jnp.maximum(fin_scores, s1[:, :K])
