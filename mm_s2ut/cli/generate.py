@@ -42,8 +42,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.generation.max_len_b = args.max_len_b
 
     task = registry.get_task(cfg.task)(cfg)
+    # eos_token override (reference config/xm_transformer.yaml:7 via
+    # fairseq SpeechToTextTask.build_generator): generation starts from
+    # and stops on this symbol (the target lang tag on the xm path), and
+    # lang tags are stripped from the emitted text.
+    eos_id = bos_id = task.tgt_dict.eos()
+    strip_ids = []
+    if cfg.data.eos_token:
+        idx = task.tgt_dict.index(cfg.data.eos_token)
+        if idx == task.tgt_dict.unk():
+            raise ValueError(
+                f"data.eos_token {cfg.data.eos_token!r} not in the vocabulary"
+            )
+        eos_id = bos_id = idx
+    strip_ids = [
+        i for i, sym in enumerate(task.tgt_dict.symbols)
+        if sym.startswith("<lang:")
+    ]
     gen = UnitGenerator(
         model, params, cfg.generation,
+        eos_id=eos_id, bos_id=bos_id,
         max_target_positions=cfg.model.max_target_positions,
     )
 
@@ -61,7 +79,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         lines.extend(
             format_generation_output(
                 batch["id"].tolist(), hypos, task.tgt_dict, targets,
-                nbest=cfg.generation.nbest,
+                nbest=cfg.generation.nbest, strip_ids=strip_ids,
             )
         )
         n += len(hypos)

@@ -95,15 +95,26 @@ class MultimodalConfig:
     external_multimodal_transformer_layers: int = 6
 
     def validate(self) -> "MultimodalConfig":
-        if self.multimodal_attention_type not in MULTIMODAL_ATTENTION_TYPE_CHOICES:
+        # The *_choices lists mirror the reference yaml (they let an
+        # enriched yaml narrow the legal set); entries the framework has
+        # no implementation for are rejected regardless.
+        attn_choices = [
+            c for c in self.multimodal_attention_type_choices
+            if c in MULTIMODAL_ATTENTION_TYPE_CHOICES
+        ] or list(MULTIMODAL_ATTENTION_TYPE_CHOICES)
+        vis_choices = [
+            c for c in self.visual_extractor_type_choices
+            if c in VISUAL_EXTRACTOR_TYPE_CHOICES
+        ] or list(VISUAL_EXTRACTOR_TYPE_CHOICES)
+        if self.multimodal_attention_type not in attn_choices:
             raise ValueError(
                 f"multimodal_attention_type={self.multimodal_attention_type!r} "
-                f"not in {MULTIMODAL_ATTENTION_TYPE_CHOICES}"
+                f"not in {attn_choices}"
             )
-        if self.load_visual_extractor_type not in VISUAL_EXTRACTOR_TYPE_CHOICES:
+        if self.load_visual_extractor_type not in vis_choices:
             raise ValueError(
                 f"load_visual_extractor_type={self.load_visual_extractor_type!r} "
-                f"not in {VISUAL_EXTRACTOR_TYPE_CHOICES}"
+                f"not in {vis_choices}"
             )
         if self.image_feat_path and len(self.image_feat_path) != len(self.image_feat_dim):
             raise ValueError("image_feat_path and image_feat_dim must align 1:1")
@@ -165,8 +176,18 @@ class DataConfig:
     standardize_audio: bool = False
     use_audio_input: bool = True  # raw waveform in, else precomputed fbank
     vocab_filename: str = "dict.txt"
+    # S2S path: prev_output_tokens starts with the target lang tag
+    # (reference prepend_tgt_lang_tag_as_bos,
+    # data/speech_to_speech_dataset.py:280-283,455-459).
+    prepend_tgt_lang_tag_as_bos: bool = False
+    # S2T/xm path: target = <bos> … <eos> <lang:tgt>; generation starts
+    # from and stops on the lang tag (reference config/xm_transformer.yaml:5-7
+    # + fairseq SpeechToTextDataset/SpeechToTextTask semantics).
     prepend_bos_and_append_tgt_lang_tag: bool = False
     tgt_lang: str = ""
+    # Generation stop symbol override (e.g. "<lang:en>"); consumed by
+    # cli/generate — the hypothesis starts from and ends at this symbol,
+    # and lang tags are stripped from T-/H-/D- output text.
     eos_token: str = ""
     # Fbank frontend (kaldi-compatible; reference data/audio_utils.py:326-349).
     num_mel_bins: int = 80
@@ -385,6 +406,15 @@ def load_config(path: str | Path) -> Config:
         t if isinstance(t, MultitaskTaskConfig) else MultitaskTaskConfig(**t)
         for t in cfg.model.multitask
     ]
+    # The encoder's input width is the fbank frontend's output width; a
+    # mismatched input_feat_per_channel would silently change the model
+    # the yaml describes (fairseq sizes the conv subsampler from this key).
+    want = cfg.model.input_feat_per_channel * cfg.model.input_channels
+    if want != cfg.data.num_mel_bins:
+        raise ValueError(
+            f"model.input_feat_per_channel×input_channels = {want} must equal "
+            f"data.num_mel_bins = {cfg.data.num_mel_bins}"
+        )
     return cfg
 
 

@@ -252,6 +252,11 @@ class SpeechToSpeechDataset:
         batch["src_lengths"] = src_lengths.astype(np.int32)
         return batch
 
+    def lang_tag_index(self, lang: str) -> int:
+        """Vocabulary id of ``<lang:xx>`` (fairseq LANG_TAG_TEMPLATE)."""
+        tag = lang if lang.startswith("<lang:") else f"<lang:{lang}>"
+        return self.tgt_dict.index(tag)
+
     def _target_item(self, index: int, row: ManifestRow) -> S2SItem:
         """Item without audio (targets/images only) for the native path."""
         target = self.tgt_dict.encode_line(row.tgt_text, append_eos=True).astype(np.int64)
@@ -261,9 +266,13 @@ class SpeechToSpeechDataset:
             keep = body - body % n
             target = np.concatenate([target[:keep], [self.tgt_dict.eos()]])
         tgt_lang_tag = None
-        if self.cfg.prepend_bos_and_append_tgt_lang_tag and row.tgt_lang:
-            tag = row.tgt_lang if row.tgt_lang.startswith("<lang:") else f"<lang:{row.tgt_lang}>"
-            tgt_lang_tag = self.tgt_dict.index(tag)
+        # S2S convention: lang tag as the decoder's first input token
+        # (reference prepend_tgt_lang_tag_as_bos,
+        # speech_to_speech_dataset.py:280-283,455-459). The S2T/xm
+        # convention (prepend_bos_and_append_tgt_lang_tag) is implemented
+        # by the s2t_dataset override.
+        if self.cfg.prepend_tgt_lang_tag_as_bos and row.tgt_lang:
+            tgt_lang_tag = self.lang_tag_index(row.tgt_lang)
         imgs: List[np.ndarray] = []
         masks: List[Optional[np.ndarray]] = []
         if self.image_stores:

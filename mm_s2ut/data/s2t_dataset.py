@@ -41,9 +41,23 @@ class MultiModalSpeechToTextDataset(SpeechToSpeechDataset):
         target = self.tgt_dict.encode_line(
             self.tokenize(row.tgt_text), append_eos=True
         ).astype(np.int64)
+        tgt_lang_tag = item.tgt_lang_tag
+        if self.cfg.prepend_bos_and_append_tgt_lang_tag and row.tgt_lang:
+            # xm/unit-mBART convention (reference config/xm_transformer.yaml:5-7
+            # via fairseq SpeechToTextDataset): target =
+            # <bos> tokens <eos> <lang:tgt>; the collater's rotation then
+            # makes prev_output_tokens start with the lang tag (fairseq
+            # collate_tokens(move_eos_to_beginning=True, eos_idx=None)
+            # copies the LAST target token to position 0), matching
+            # generation that starts from eos_token = the lang tag.
+            tag = self.lang_tag_index(row.tgt_lang)
+            target = np.concatenate(
+                [[self.tgt_dict.bos()], target, [tag]]
+            ).astype(np.int64)
+            tgt_lang_tag = tag
         return S2SItem(
             index=item.index, id=item.id, source=item.source, target=target,
-            tgt_lang_tag=item.tgt_lang_tag, src_audio_path=item.src_audio_path,
+            tgt_lang_tag=tgt_lang_tag, src_audio_path=item.src_audio_path,
             imgs=item.imgs, img_masks=item.img_masks, speaker=item.speaker,
         )
 

@@ -122,17 +122,27 @@ def format_generation_output(
     dictionary,
     targets: Optional[Sequence[Sequence[int]]] = None,
     nbest: int = 1,
+    strip_ids: Sequence[int] = (),
 ) -> List[str]:
     """Emit fairseq-generate-format lines (T-/H-/D-) so the reference's
     downstream unit-extraction pipeline (grep "^D-" | sort -nk1 | cut -f3,
     scripts/3_generate_waveform.sh:24-26) works unchanged. H- carries raw
-    symbols, D- the detokenized/cleaned string — identical for units."""
+    symbols, D- the detokenized/cleaned string — identical for units.
+    ``strip_ids``: extra symbol ids removed from all lines (fairseq
+    symbols_to_strip_from_output — lang tags on the xm path)."""
+    strip = set(int(s) for s in strip_ids)
+
+    def to_str(tokens) -> str:
+        if strip:
+            tokens = [t for t in tokens if int(t) not in strip]
+        return dictionary.string(tokens)
+
     lines: List[str] = []
     for i, sid in enumerate(sample_ids):
         if targets is not None:
-            lines.append(f"T-{sid}\t{dictionary.string(targets[i])}")
+            lines.append(f"T-{sid}\t{to_str(targets[i])}")
         for hyp in hypos[i][:nbest]:
-            text = dictionary.string(hyp["tokens"])
+            text = to_str(hyp["tokens"])
             lines.append(f"H-{sid}\t{hyp['score']:.4f}\t{text}")
             lines.append(f"D-{sid}\t{hyp['score']:.4f}\t{text}")
     return lines

@@ -552,6 +552,14 @@ def load_fairseq_checkpoint(
     }
     p["generator"] = gen
 
+    if cfg.dur_prediction and "dur_predictor.conv1.0.weight" not in sd:
+        # fairseq would fail load_state_dict with missing keys here; fail
+        # with an actionable message instead of a flax scope error later.
+        raise ValueError(
+            f"{ckpt_path}: config requests dur_prediction but the checkpoint "
+            "has no dur_predictor weights; set \"dur_prediction\": false in "
+            "the vocoder config json (or use a --dur-prediction checkpoint)"
+        )
     if cfg.dur_prediction and "dur_predictor.conv1.0.weight" in sd:
         dp: Dict[str, Any] = {}
         for i in (1, 2):

@@ -72,7 +72,10 @@ class MultiModalSpeechToSpeechTask:
             logger.info("loaded dictionary %s (%d symbols)", vocab_path, len(d))
             return d
         lang_tags = []
-        if data.prepend_bos_and_append_tgt_lang_tag and data.tgt_lang:
+        if (
+            data.prepend_bos_and_append_tgt_lang_tag
+            or data.prepend_tgt_lang_tag_as_bos
+        ) and data.tgt_lang:
             tag = data.tgt_lang if data.tgt_lang.startswith("<lang:") else f"<lang:{data.tgt_lang}>"
             lang_tags.append(tag)
         return UnitDictionary(data.target_code_size, lang_tags)
@@ -199,11 +202,57 @@ class MultiModalSpeechToSpeechTask:
             sample["img_masks_list"] = (np.zeros(feats_img.shape[:2], bool),)
         return sample
 
+    def _load_visual_extractor_weights(self, model, params):
+        """Initialize the on-line visual extractor from the pretrained
+        checkpoint named by ``multimodal.load_visual_extractor`` (the
+        reference's build_visual_extractor from_pretrained load,
+        mm_s2s_transformer.py:272-290): timm ``.pth``/``.bin`` for
+        vit_timm / vit_huggingface, an HF CLIP dir for vit_openai."""
+        mm = self.cfg.model.multimodal
+        from mm_s2ut.models.vit import (
+            ViTConfig, load_clip_checkpoint, load_timm_checkpoint,
+        )
+
+        if mm.load_visual_extractor_type == "vit_openai":
+            _, vparams = load_clip_checkpoint(mm.load_visual_extractor)
+        else:
+            vparams = load_timm_checkpoint(
+                mm.load_visual_extractor,
+                getattr(model, "vit_cfg", None) or ViTConfig(),
+            )
+        vparams = vparams["params"]  # converters return full variables
+        try:
+            from flax.core import unfreeze
+
+            raw = unfreeze(params)
+        except Exception:
+            raw = params
+        tgt = raw["params"]["visual_extractor"]
+        want = jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), tgt)
+        got = jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), vparams)
+        if want != got:
+            raise ValueError(
+                f"visual extractor checkpoint {mm.load_visual_extractor} does "
+                f"not match the configured graph "
+                f"(visual_extractor_args={mm.visual_extractor_args})"
+            )
+        raw["params"]["visual_extractor"] = jax.tree_util.tree_map(
+            jnp.asarray, vparams
+        )
+        logger.info(
+            "loaded visual extractor (%s) from %s",
+            mm.load_visual_extractor_type, mm.load_visual_extractor,
+        )
+        return raw
+
     def build_trainer(self, criterion: str = "speech_to_unit"):
         from mm_s2ut.train.trainer import Trainer
 
         model = self.build_model()
         params = self.init_params(model)
+        mm = self.cfg.model.multimodal
+        if mm.load_visual_extractor_type and mm.load_visual_extractor:
+            params = self._load_visual_extractor_weights(model, params)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info("model %s: %.1fM params", self.cfg.model.arch, n_params / 1e6)
         return Trainer(self.cfg, model, params, criterion_name=criterion)

@@ -136,3 +136,22 @@ decoder_target_ctc:
     assert by_name["target_letter"].decoder_type == "ctc"
     assert by_name["target_letter"].loss_weight == 8.0
     assert by_name["decoder_target_ctc"].decoder_layers == 4
+
+
+def test_input_feat_per_channel_validated(tmp_path):
+    """input_feat_per_channel×input_channels must equal the fbank width —
+    a mismatched value would silently describe a different model than the
+    yaml claims (fairseq sizes the conv subsampler from this key)."""
+    import pytest
+
+    from mm_s2ut.config import Config, load_config, save_yaml
+
+    cfg = Config()
+    cfg.model.input_feat_per_channel = 40
+    p = tmp_path / "bad.yaml"
+    save_yaml(cfg, p)
+    with pytest.raises(ValueError, match="input_feat_per_channel"):
+        load_config(p)
+    cfg.model.input_feat_per_channel = 80
+    save_yaml(cfg, p)
+    assert load_config(p).model.input_feat_per_channel == 80

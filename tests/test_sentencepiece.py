@@ -158,3 +158,75 @@ def test_extract_text_from_generate(tmp_path):
     )
     assert n == 2
     assert hyp.read_text().splitlines() == ["the", "the cat"]
+
+
+def test_s2t_lang_tag_append_and_prev_rotation(tmp_path):
+    """xm/unit-mBART convention (reference config/xm_transformer.yaml:5-7
+    via fairseq SpeechToTextDataset): with
+    prepend_bos_and_append_tgt_lang_tag, target = <bos> tokens <eos>
+    <lang:tgt> and prev_output_tokens starts with the lang tag (fairseq
+    collate_tokens(move_eos_to_beginning=True, eos_idx=None) rotation)."""
+    from mm_s2ut.config import DataConfig
+    from mm_s2ut.data.audio_io import write_wav
+    from mm_s2ut.data.dictionary import Dictionary
+    from mm_s2ut.data.manifest import ManifestRow, write_manifest
+    from mm_s2ut.data.s2t_dataset import MultiModalSpeechToTextDataset
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+    rows = []
+    for i, text in enumerate(["a b", "b a a"]):
+        write_wav(tmp_path / f"{i + 1}.wav",
+                  (0.1 * rng.randn(sr // 8)).astype(np.float32), sr)
+        rows.append(ManifestRow(str(i), f"{i + 1}.wav", sr // 8, text, 3,
+                                tgt_lang="en"))
+    write_manifest(tmp_path / "train.tsv", rows)
+    d = Dictionary()
+    for sym in ("a", "b", "<lang:en>"):
+        d.add_symbol(sym)
+    tag = d.index("<lang:en>")
+    assert tag != d.unk()
+    cfg = DataConfig(
+        data_root=str(tmp_path), audio_root=str(tmp_path),
+        target_is_code=False, tgt_lang="<lang:en>", eos_token="<lang:en>",
+        prepend_bos_and_append_tgt_lang_tag=True,
+    )
+    ds = MultiModalSpeechToTextDataset("train", True, cfg, rows, d)
+    item = ds[0]
+    ids = d.encode_line("a b", append_eos=True)
+    want = np.concatenate([[d.bos()], ids, [tag]])
+    np.testing.assert_array_equal(item.target, want)
+    batch = ds.collate([ds[0], ds[1]])
+    # prev = rotation of target: prev[0] = target[-1] = lang tag, then
+    # bos + tokens — the decoder input generation reproduces when it
+    # starts from eos_token = the lang tag.
+    for b in range(2):
+        n = int(batch["target_lengths"][b])
+        np.testing.assert_array_equal(
+            batch["prev_output_tokens"][b, :n],
+            np.concatenate([[tag], batch["target"][b, : n - 1]]),
+        )
+        assert batch["target"][b, n - 1] == tag
+        assert batch["prev_output_tokens"][b, 1] == d.bos()
+
+
+def test_format_generation_output_strips_lang_tags():
+    """Lang tags (fairseq symbols_to_strip_from_output) are removed from
+    T-/H-/D- lines when strip_ids is passed (cli/generate wires all
+    <lang:*> symbols when data.eos_token is configured)."""
+    from mm_s2ut.data.dictionary import Dictionary
+    from mm_s2ut.infer.generator import format_generation_output
+
+    d = Dictionary()
+    for sym in ("hello", "world", "<lang:en>"):
+        d.add_symbol(sym)
+    tag = d.index("<lang:en>")
+    hyp = {"tokens": np.asarray([tag, d.index("hello"), d.index("world"), tag]),
+           "score": -0.5}
+    lines = format_generation_output(
+        [0], [[hyp]], d, targets=[[d.bos(), d.index("hello"), d.eos(), tag]],
+        strip_ids=[tag],
+    )
+    assert lines[0] == "T-0\thello"
+    assert lines[1].endswith("\thello world")
+    assert lines[2].endswith("\thello world")

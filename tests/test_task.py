@@ -233,3 +233,100 @@ def test_online_visual_extractor_train_from_jpgs(tmp_path):
     m = trainer.train_batch(b)
     assert np.isfinite(float(_jax.device_get(m["loss"])))
     assert not np.allclose(first_leaf(), before)
+
+
+def test_load_visual_extractor_pretrained(tmp_path):
+    """multimodal.load_visual_extractor names a pretrained timm-format
+    checkpoint; build_trainer initializes the in-graph extractor from it
+    (reference build_visual_extractor from_pretrained,
+    mm_s2s_transformer.py:272-290). A silently-ignored path key is a bug."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    from mm_s2ut.data.audio_io import write_wav
+    from mm_s2ut.data.manifest import ManifestRow, write_manifest
+    from mm_s2ut.models.vit import ViTConfig, convert_timm_state_dict
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "flickr30k-images"
+    img_dir.mkdir()
+    names = []
+    for i in range(2):
+        name = f"img{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (48, 64, 3), np.uint8)).save(img_dir / name)
+        names.append(name)
+    (tmp_path / "train.txt").write_text("\n".join(names) + "\n")
+    rows = []
+    for i in range(2):
+        length = sr // 4
+        write_wav(tmp_path / f"{i + 1}.wav", (0.3 * rng.randn(length)).astype(np.float32), sr)
+        units = " ".join(str(u) for u in rng.randint(0, 50, 8))
+        rows.append(ManifestRow(str(i), f"{i + 1}.wav", length, units, 8))
+    write_manifest(tmp_path / "train.tsv", rows)
+
+    vc = ViTConfig(image_size=32, patch_size=16, embed_dim=32, depth=1, num_heads=2)
+    # timm-format torch state dict for that graph.
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.02
+
+    D, H = vc.embed_dim, int(vc.embed_dim * vc.mlp_ratio)
+    sd = {
+        "cls_token": t(1, 1, D), "pos_embed": t(1, vc.seq_len, D),
+        "patch_embed.proj.weight": t(D, 3, 16, 16), "patch_embed.proj.bias": t(D),
+        "norm.weight": torch.ones(D), "norm.bias": torch.zeros(D),
+        "blocks.0.norm1.weight": torch.ones(D), "blocks.0.norm1.bias": torch.zeros(D),
+        "blocks.0.attn.qkv.weight": t(3 * D, D), "blocks.0.attn.qkv.bias": t(3 * D),
+        "blocks.0.attn.proj.weight": t(D, D), "blocks.0.attn.proj.bias": t(D),
+        "blocks.0.norm2.weight": torch.ones(D), "blocks.0.norm2.bias": torch.zeros(D),
+        "blocks.0.mlp.fc1.weight": t(H, D), "blocks.0.mlp.fc1.bias": t(H),
+        "blocks.0.mlp.fc2.weight": t(D, H), "blocks.0.mlp.fc2.bias": t(D),
+    }
+    ckpt = tmp_path / "vit_tiny.pth"
+    torch.save(sd, ckpt)
+
+    cfg = Config(
+        model=ModelConfig(
+            encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+            encoder_attention_heads=2, decoder_embed_dim=32,
+            decoder_ffn_embed_dim=64, decoder_layers=1,
+            decoder_attention_heads=2, conv_channels=16, dtype="float32",
+            multimodal=MultimodalConfig(
+                image_feat_dim=[32],
+                multimodal_attention_type="selective_attention",
+                load_visual_extractor_type="vit_timm",
+                load_visual_extractor=str(ckpt),
+                flickr30k_root=str(tmp_path),
+                image_input_size=32,
+                visual_extractor_args={
+                    "embed_dim": 32, "depth": 1, "num_heads": 2,
+                    "patch_size": 16,
+                },
+            ),
+        ),
+        data=DataConfig(
+            data_root=str(tmp_path), audio_root=str(tmp_path),
+            target_code_size=50, max_tokens=400, num_buckets=1,
+        ),
+        train=TrainConfig(update_freq=1, warmup_updates=5, lr=1e-3, seed=3),
+        mesh=__import__("mm_s2ut.config", fromlist=["MeshConfig"]).MeshConfig(data=1),
+    )
+    task = registry.get_task("multimodal_speech_to_speech")(cfg)
+    trainer = task.build_trainer()
+    got = trainer.state.params["params"]["visual_extractor"]
+    want = convert_timm_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, vc
+    )["params"]
+    np.testing.assert_allclose(
+        np.asarray(got["block0"]["qkv"]["kernel"], np.float32),
+        want["block0"]["qkv"]["kernel"], atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["cls_token"], np.float32), want["cls_token"], atol=1e-6
+    )
+    # Mismatched graph → clear error, not silent drop.
+    cfg.model.multimodal.visual_extractor_args["embed_dim"] = 24
+    with pytest.raises(Exception):
+        registry.get_task("multimodal_speech_to_speech")(cfg).build_trainer()
