@@ -162,12 +162,13 @@ def main():
 
     SECONDS, SR = 10, 16000
     # Default operating point: the REFERENCE's generation setting — beam 10
-    # (scripts/textless/2_inference.sh:34-43) — at batch 32 (the
-    # throughput-optimal static batch measured on v5e; fairseq's
-    # max-tokens 8000 ≈ batch 8). A beam-5 secondary measurement goes in
-    # extras. Override via env: MM_BENCH_BATCH / MM_BENCH_BEAM /
-    # MM_BENCH_KV (bfloat16|int8) / MM_BENCH_SKIP_EXTRAS=1.
-    B = int(os.environ.get("MM_BENCH_BATCH", "32"))
+    # (scripts/textless/2_inference.sh:34-43) — at batch 128 (the
+    # throughput-optimal static batch measured on v5e with the round-3
+    # kernels: 93.2 utt/s at B=32, 98.8 at B=64, 102.3 at B=128;
+    # fairseq's max-tokens 8000 ≈ batch 8). A beam-5 secondary
+    # measurement goes in extras. Override via env: MM_BENCH_BATCH /
+    # MM_BENCH_BEAM / MM_BENCH_KV (bfloat16|int8) / MM_BENCH_SKIP_EXTRAS=1.
+    B = int(os.environ.get("MM_BENCH_BATCH", "128"))
     BEAM = int(os.environ.get("MM_BENCH_BEAM", "10"))
     KV_DTYPE = os.environ.get("MM_BENCH_KV", "int8")
     MAX_LEN = 200
