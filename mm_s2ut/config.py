@@ -330,7 +330,9 @@ class GenerationConfig:
     # n-best to emit into generate-*.txt (reference emits top-1 H/D lines).
     nbest: int = 1
     # Decode KV-cache storage: "bfloat16" (exact) or "int8" (per-column
-    # symmetric quantization; halves the decode kernel's HBM reads).
+    # symmetric quantization of BOTH the growing self-attention cache and
+    # the static per-layer encoder cross K/V slab; halves the decode
+    # kernels' HBM reads — the dominant decode cost).
     kv_cache_dtype: str = "bfloat16"
 
 

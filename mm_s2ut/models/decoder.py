@@ -201,7 +201,9 @@ class UnitDecoder(nn.Module):
         decode cost — halves, with the scales folded into the score rows
         (K) and softmax weights (V) so both matmuls stay native
         (ops/decode_attention.py int8 variant). The current step's own
-        K/V stay full precision."""
+        K/V stay full precision. The static per-layer encoder cross K/V
+        slab — read in full every decode step — is quantized the same
+        way (per source column; MultiHeadAttention.precompute_kv)."""
         B = encoder_out.shape[0]
         H = self.num_heads
         Dh = self.embed_dim // H
@@ -212,7 +214,10 @@ class UnitDecoder(nn.Module):
             "self_kv": jnp.zeros(
                 (B, self.num_layers, H, max_len, 2 * Dh), cache_dt
             ),
-            "cross": [layer.cross_attn.precompute_kv(encoder_out) for layer in self.layers],
+            "cross": [
+                layer.cross_attn.precompute_kv(encoder_out, kv_dtype=kv_dtype)
+                for layer in self.layers
+            ],
         }
         if int8_cache:
             state["self_kv_sk"] = jnp.zeros(

@@ -197,7 +197,10 @@ class MultiHeadAttention(nn.Module):
                 # cache (precompute_kv): storage order IS the contraction
                 # order for both matmuls — no per-step transposes inside
                 # the decode loop — and beams share the B-sized buffer.
-                return self._packed_cross(q, cache["kv"], bias, query, new_cache)
+                return self._packed_cross(
+                    q, cache["kv"], bias, query, new_cache,
+                    scales=(cache["sk"], cache["sv"]) if "sk" in cache else None,
+                )
             k, v = cache["k"], cache["v"]
             if k.shape[0] != query.shape[0]:
                 # Beam-broadcast cross-attention: K/V stay at batch size B
@@ -247,8 +250,10 @@ class MultiHeadAttention(nn.Module):
         out = out.reshape(BK, Tq, self.embed_dim)
         return self.out_proj(out), cache, None
 
-    def _packed_cross(self, q, kv, bias, query, cache):
-        """q: (B·K, 1, H, Dh) pre-scaled; kv: (B, H, S, 2·Dh) interleaved."""
+    def _packed_cross(self, q, kv, bias, query, cache, scales=None):
+        """q: (B·K, 1, H, Dh) pre-scaled; kv: (B, H, S, 2·Dh) interleaved
+        (int8 with per-column dequant ``scales`` (sk, sv) when the cross
+        cache was precomputed with ``kv_dtype='int8'``)."""
         from mm_s2ut.ops import decode_attention as da
 
         B, H, S, _ = kv.shape
@@ -260,20 +265,49 @@ class MultiHeadAttention(nn.Module):
             jnp.zeros((B, S), jnp.float32) if bias is None
             else bias.astype(jnp.float32).reshape(B, -1, S)[:, -1]
         )
-        if da.cross_supported(kv):
+        if scales is not None:
+            fn = (da.cross_decode_attention_i8 if da.cross_supported(kv)
+                  else da.cross_reference_i8)
+            out = fn(qb, kv, scales[0], scales[1], bias_row)
+        elif da.cross_supported(kv):
             out = da.cross_decode_attention(qb, kv, bias_row)
         else:
             out = da.cross_reference(qb, kv, bias_row)
         out = out.transpose(0, 2, 1, 3).reshape(BK, Tq, self.embed_dim)
         return self.out_proj(out), cache, None
 
-    def precompute_kv(self, key: jnp.ndarray, value: Optional[jnp.ndarray] = None) -> Cache:
+    def precompute_kv(
+        self, key: jnp.ndarray, value: Optional[jnp.ndarray] = None,
+        kv_dtype: Optional[str] = None,
+    ) -> Cache:
         """Pre-project encoder states for cached cross-attention, packed
         as ONE interleaved (B, H, S, 2·Dh) buffer in decode storage order
-        (the transpose happens once here, not per decode step)."""
+        (the transpose happens once here, not per decode step).
+
+        ``kv_dtype='int8'`` stores the slab quantized per source column
+        and head (symmetric, scale = amax/127 over Dh) with f32 dequant
+        scales ``sk``/``sv`` (B, H, S): the slab is static for the whole
+        decode, so quantization costs one pass here while every decode
+        step's HBM read of it halves (ops/decode_attention.py
+        cross int8 kernel folds the scales into the score rows and the
+        softmax weights, keeping both matmuls native)."""
         value = key if value is None else value
         k = self._split(self.k_proj(key)).transpose(0, 2, 1, 3)  # (B, H, S, Dh)
         v = self._split(self.v_proj(value)).transpose(0, 2, 1, 3)
+        if kv_dtype == "int8":
+            kf = k.astype(jnp.float32)
+            vf = v.astype(jnp.float32)
+            sk = jnp.max(jnp.abs(kf), axis=-1) / 127.0  # (B, H, S)
+            sv = jnp.max(jnp.abs(vf), axis=-1) / 127.0
+            k_q = jnp.round(kf / jnp.maximum(sk, 1e-20)[..., None])
+            v_q = jnp.round(vf / jnp.maximum(sv, 1e-20)[..., None])
+            kv_q = jnp.clip(
+                jnp.concatenate([k_q, v_q], axis=-1), -127, 127
+            ).astype(jnp.int8)
+            return {
+                "kv": kv_q, "sk": sk, "sv": sv,
+                "index": jnp.asarray(key.shape[1], jnp.int32),
+            }
         return {
             "kv": jnp.concatenate([k, v], axis=-1),
             "index": jnp.asarray(key.shape[1], jnp.int32),

@@ -269,6 +269,73 @@ def cross_decode_attention(
     )(q, kv, bias_k)
 
 
+def _kernel_cross_i8(q_ref, kv_ref, sk_ref, sv_ref, bias_ref, o_ref):
+    # int8 variant of _kernel_cross: the encoder K‖V slab is stored
+    # quantized (per source column s, per head) so the per-step HBM read
+    # — paid once per (batch, layer, step) for the WHOLE decode — is half
+    # the bf16 slab. Scale folding mirrors _kernel_i8: K's scale
+    # multiplies the score rows after the q·k matmul, V's folds into the
+    # softmax weights before the w·v matmul.
+    H, K, Dh = q_ref.shape
+    q = q_ref[...]
+    kv = kv_ref[...]  # (H, S, 2·Dh) int8
+    k2 = kv[:, :, :Dh].astype(q.dtype)
+    v2 = kv[:, :, Dh:].astype(q.dtype)
+    scores = jax.lax.dot_general(
+        q, k2, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (H, K, S)
+    scores = scores * sk_ref[...][:, None, :]
+    scores = scores + bias_ref[...][None]  # (K, S) → broadcast over H only
+    m = jnp.max(scores, axis=2, keepdims=True)
+    p = jnp.exp(scores - m)
+    w = ((p / jnp.sum(p, axis=2, keepdims=True)) * sv_ref[...][:, None, :]
+         ).astype(v2.dtype)
+    out = jax.lax.dot_general(
+        w, v2, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cross_decode_attention_i8(
+    q: jnp.ndarray,     # (B, H, K, Dh), already scaled by Dh^-0.5
+    kv: jnp.ndarray,    # (B, H, S, 2·Dh) packed encoder K‖V, int8
+    sk: jnp.ndarray,    # (B, H, S) f32 per-column K dequant scale
+    sv: jnp.ndarray,    # (B, H, S) f32 per-column V dequant scale
+    bias: jnp.ndarray,  # (B, S) f32 additive mask (0 valid / -inf pad)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8-cache variant of :func:`cross_decode_attention`."""
+    B, H, K, Dh = q.shape
+    S = kv.shape[2]
+    bias_k = jnp.broadcast_to(bias.astype(jnp.float32)[:, None, :], (B, K, S))
+    return pl.pallas_call(
+        _kernel_cross_i8,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, S, 2 * Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, H, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, K, S), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
+        interpret=interpret,
+    )(q, kv, sk, sv, bias_k)
+
+
+def cross_reference_i8(q, kv, sk, sv, bias):
+    """XLA reference of the int8 cross contraction (CPU/test fallback):
+    dequantize the slab and delegate to :func:`cross_reference`."""
+    Dh = q.shape[-1]
+    slab = kv.astype(jnp.float32)
+    k_deq = slab[..., :Dh] * sk[..., None]
+    v_deq = slab[..., Dh:] * sv[..., None]
+    deq = jnp.concatenate([k_deq, v_deq], axis=-1).astype(q.dtype)
+    return cross_reference(q, deq, bias)
+
+
 def cross_supported(kv: jnp.ndarray) -> bool:
     """Pallas cross kernel: real TPU, slab fits VMEM."""
     if jax.devices()[0].platform in ("cpu", "gpu"):

@@ -144,3 +144,52 @@ def test_cross_reference_matches_plain_attention():
     w /= w.sum(-1, keepdims=True)
     want = np.einsum("bhks,bhsd->bhkd", w, v)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+def test_cross_reference_i8_close_to_fp():
+    rng = np.random.RandomState(7)
+    B, H, K, S, Dh = 2, 2, 5, 24, 16
+    q = jnp.asarray(rng.randn(B, H, K, Dh), jnp.float32) * 0.3
+    kv = jnp.asarray(rng.randn(B, H, S, 2 * Dh), jnp.float32) * 0.3
+    mask = rng.rand(B, S) < 0.2
+    bias = jnp.where(jnp.asarray(mask), -1e9, 0.0).astype(jnp.float32)
+    kv_q, sk, sv = _quantize(kv)
+    want = np.asarray(da.cross_reference(q, kv, bias))
+    got = np.asarray(da.cross_reference_i8(q, kv_q, sk, sv, bias))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=5e-2)
+
+
+def test_cross_kernel_i8_interpret_matches_reference_i8():
+    rng = np.random.RandomState(8)
+    B, H, K, S, Dh = 2, 2, 5, 24, 16
+    q = jnp.asarray(rng.randn(B, H, K, Dh), jnp.float32) * 0.3
+    kv = jnp.asarray(rng.randn(B, H, S, 2 * Dh), jnp.float32) * 0.3
+    mask = rng.rand(B, S) < 0.2
+    bias = jnp.where(jnp.asarray(mask), -1e9, 0.0).astype(jnp.float32)
+    kv_q, sk, sv = _quantize(kv)
+    ref = np.asarray(da.cross_reference_i8(q, kv_q, sk, sv, bias))
+    got = np.asarray(
+        da.cross_decode_attention_i8(q, kv_q, sk, sv, bias, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_precompute_kv_int8_dequantizes_close():
+    """MultiHeadAttention.precompute_kv(kv_dtype='int8') stores a slab
+    whose dequantized columns match the fp slab to int8 precision."""
+    from mm_s2ut.models.layers import MultiHeadAttention
+
+    rng = np.random.RandomState(9)
+    B, S, D, H = 2, 12, 32, 4
+    attn = MultiHeadAttention(embed_dim=D, num_heads=H, dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x, x, x)
+    fp = attn.apply(params, x, method=MultiHeadAttention.precompute_kv)
+    q8 = attn.apply(
+        params, x, method=MultiHeadAttention.precompute_kv, kv_dtype="int8"
+    )
+    assert q8["kv"].dtype == jnp.int8
+    Dh = D // H
+    k_deq = np.asarray(q8["kv"][..., :Dh], np.float32) * np.asarray(q8["sk"])[..., None]
+    v_deq = np.asarray(q8["kv"][..., Dh:], np.float32) * np.asarray(q8["sv"])[..., None]
+    np.testing.assert_allclose(k_deq, np.asarray(fp["kv"][..., :Dh]), atol=2e-2)
+    np.testing.assert_allclose(v_deq, np.asarray(fp["kv"][..., Dh:]), atol=2e-2)
