@@ -329,10 +329,13 @@ class GenerationConfig:
     max_tokens: int = 8000
     # n-best to emit into generate-*.txt (reference emits top-1 H/D lines).
     nbest: int = 1
-    # Decode KV-cache storage: "bfloat16" (exact) or "int8" (per-column
+    # Decode KV-cache storage: "bfloat16" (exact), "int8" (per-column
     # symmetric quantization of BOTH the growing self-attention cache and
     # the static per-layer encoder cross K/V slab; halves the decode
-    # kernels' HBM reads — the dominant decode cost).
+    # kernels' HBM reads — the dominant decode cost), or "int4" (self-
+    # attention cache nibble-packed two columns per byte on top of the
+    # int8 cross slab; quarters the dominant read — the decode kernel is
+    # DMA-bound, so bytes ≈ time).
     kv_cache_dtype: str = "bfloat16"
 
 

@@ -192,8 +192,17 @@ def beam_search(
             return jnp.logical_and(not_done, improvable)
         return cond
 
-    kv_full = init_state["self_kv"]  # (B, L, H, T·K, 2·Dh)
-    T_full = kv_full.shape[3] // K
+    kv_full = init_state["self_kv"]  # (B, L, H, T·K (÷2 if int4), 2·Dh)
+    # int4 nibble-packed caches (half-split layout, decode_attention.py)
+    # have a 2:1 scale-to-slab shape ratio; their physical axis is half
+    # the logical flattened length, and growth must RE-PACK (the half
+    # boundary moves with the capacity), not pad.
+    int4 = (
+        "self_kv_sk" in init_state
+        and init_state["self_kv_sk"].shape[3] == 2 * kv_full.shape[3]
+    )
+    pack_div = 2 if int4 else 1
+    T_full = kv_full.shape[3] * pack_div // K
     caps = []
     c = 64
     while c < T_full:
@@ -203,10 +212,12 @@ def beam_search(
 
     state0 = {
         **init_state,
-        "self_kv": kv_full[:, :, :, : caps[0] * K],
+        # Slicing the packed int4 slab reinterprets its half boundary,
+        # which is harmless only because the cache is still EMPTY here.
+        "self_kv": kv_full[:, :, :, : caps[0] * K // pack_div],
         "ancestry": init_state["ancestry"][:, :, : caps[0]],
     }
-    for skey in ("self_kv_sk", "self_kv_sv"):  # int8 dequant scales
+    for skey in ("self_kv_sk", "self_kv_sv"):  # int8/int4 dequant scales
         if skey in init_state:
             state0[skey] = init_state[skey][:, :, :, : caps[0] * K]
     carry = (
@@ -217,12 +228,18 @@ def beam_search(
         if i > 0:
             st = carry[-1]
             kv = st["self_kv"]
-            grown = {
-                "self_kv": jnp.pad(
+            if int4:
+                from mm_s2ut.ops.decode_attention import i4_regrow
+
+                kv_grown = i4_regrow(kv, cap * K // 2)
+            else:
+                kv_grown = jnp.pad(
                     kv,
                     ((0, 0), (0, 0), (0, 0),
                      (0, cap * K - kv.shape[3]), (0, 0)),
-                ),
+                )
+            grown = {
+                "self_kv": kv_grown,
                 "ancestry": jnp.pad(
                     st["ancestry"],
                     ((0, 0), (0, 0), (0, cap - st["ancestry"].shape[2])),
@@ -262,18 +279,25 @@ def tile_state_for_beams(state: Any, beam_size: int) -> Any:
     (MultiHeadAttention beam-broadcast path) so encoder K/V reads don't
     scale with beam width."""
     kv = state["self_kv"]
-    B, T = kv.shape[0], kv.shape[3]
+    B = kv.shape[0]
+    # int4 nibble-packed caches carry half the logical columns per
+    # physical position (2:1 scale-to-slab ratio); the ancestry table is
+    # sized by LOGICAL steps.
+    T_logical = (
+        state["self_kv_sk"].shape[3]
+        if "self_kv_sk" in state else kv.shape[3]
+    )
     shape = list(kv.shape)
-    shape[3] = T * beam_size
+    shape[3] = kv.shape[3] * beam_size
     out = {
         **state,
         "self_kv": jnp.zeros(shape, kv.dtype),
-        "ancestry": jnp.zeros((B, beam_size, T), jnp.int32),
+        "ancestry": jnp.zeros((B, beam_size, T_logical), jnp.int32),
     }
-    for key in ("self_kv_sk", "self_kv_sv"):  # int8-cache dequant scales
+    for key in ("self_kv_sk", "self_kv_sv"):  # int8/int4 dequant scales
         if key in state:
             s_shape = list(state[key].shape)
-            s_shape[3] = T * beam_size
+            s_shape[3] = T_logical * beam_size
             out[key] = jnp.zeros(s_shape, state[key].dtype)
     return out
 

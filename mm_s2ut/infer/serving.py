@@ -100,6 +100,10 @@ class ContinuousServer:
     ):
         if max_len_b >= ring:
             raise ValueError("ring must exceed max_len_b (no wrap within one utterance)")
+        if kv_cache_dtype == "int4":
+            # Half-split nibble packing needs an even ring so step writes
+            # never straddle the packed half boundary (models/decoder.py).
+            ring += ring % 2
         self.model = model
         self.params = params
         self.B, self.K = slots, beam_size
@@ -140,12 +144,14 @@ class ContinuousServer:
         )
         kv = dec["self_kv"]
         shape = list(kv.shape)
-        shape[3] = T * K
+        # Tile the physical flattened axis by the slot count — for the
+        # int4 nibble-packed cache that axis is T/2, not T.
+        shape[3] = kv.shape[3] * K
         scale_pool = {}
         for key in ("self_kv_sk", "self_kv_sv"):
             if key in dec:
                 s_shape = list(dec[key].shape)
-                s_shape[3] = T * K
+                s_shape[3] = dec[key].shape[3] * K
                 scale_pool[key] = jnp.zeros(s_shape, dec[key].dtype)
         state = {
             **dec,

@@ -203,19 +203,38 @@ class UnitDecoder(nn.Module):
         (ops/decode_attention.py int8 variant). The current step's own
         K/V stay full precision. The static per-layer encoder cross K/V
         slab — read in full every decode step — is quantized the same
-        way (per source column; MultiHeadAttention.precompute_kv)."""
+        way (per source column; MultiHeadAttention.precompute_kv).
+
+        ``kv_dtype="int4"`` additionally nibble-packs the self-attention
+        cache two logical columns per int8 byte in the half-split layout
+        of ops/decode_attention.py (byte p = columns p and p + T·S/2),
+        quartering the dominant HBM read; scales are int8-identical. T is
+        rounded up to even so step writes never straddle the half
+        boundary. The cross slab stays int8 (it is a minor decode cost).
+        """
+        if kv_dtype not in (None, "bfloat16", "float32", "int8", "int4"):
+            raise ValueError(
+                f"kv_cache_dtype={kv_dtype!r}: expected bfloat16, int8 or int4"
+            )
         B = encoder_out.shape[0]
         H = self.num_heads
         Dh = self.embed_dim // H
-        int8_cache = kv_dtype == "int8"
+        int8_cache = kv_dtype in ("int8", "int4")
+        int4_cache = kv_dtype == "int4"
         cache_dt = jnp.int8 if int8_cache else self.dtype
+        if int4_cache:
+            max_len = max_len + (max_len % 2)  # half-split needs T even
         state: DecoderState = {
             "step": jnp.zeros((), jnp.int32),
             "self_kv": jnp.zeros(
-                (B, self.num_layers, H, max_len, 2 * Dh), cache_dt
+                (B, self.num_layers, H,
+                 max_len // 2 if int4_cache else max_len, 2 * Dh),
+                cache_dt,
             ),
             "cross": [
-                layer.cross_attn.precompute_kv(encoder_out, kv_dtype=kv_dtype)
+                layer.cross_attn.precompute_kv(
+                    encoder_out, kv_dtype="int8" if int4_cache else kv_dtype
+                )
                 for layer in self.layers
             ],
         }
@@ -231,6 +250,16 @@ class UnitDecoder(nn.Module):
             if encoder_padding_mask is not None else None
         )
         return state
+
+    @staticmethod
+    def _flat_len(state: DecoderState) -> int:
+        """Logical length of the cache's flattened (t·S + s) axis — twice
+        the physical axis when the cache is int4 nibble-packed (detected
+        by the 2:1 scale-to-slab shape ratio of the half-split layout)."""
+        n = state["self_kv"].shape[3]
+        if "self_kv_sk" in state and state["self_kv_sk"].shape[3] == 2 * n:
+            return 2 * n
+        return n
 
     def _self_attn_step(
         self, layer, x: jnp.ndarray, kv: jnp.ndarray, layer_idx: int,
@@ -278,10 +307,23 @@ class UnitDecoder(nn.Module):
         def to_bhkd(t):  # (N, 1, H, Dh) → (B, H, K, Dh)
             return t.reshape(B, K, H, Dh).transpose(0, 2, 1, 3)
 
+        # int4 cache is recognizable at trace time by shape: the packed
+        # slab's flattened axis is HALF the scale arrays' (decode_attention
+        # half-split layout); int8 stores them 1:1.
+        int4 = kv_scales is not None and kv_scales[0].shape[3] == 2 * kv.shape[3]
         if flat_rep is not None:
             from mm_s2ut.ops import decode_attention as da
 
-            if kv_scales is not None:
+            if int4:
+                fn = (
+                    da.ancestry_decode_attention_i4 if da.supported_i4(kv)
+                    else da.reference_i4
+                )
+                out = fn(
+                    to_bhkd(q), to_bhkd(k_new), to_bhkd(v_new),
+                    kv, kv_scales[0], kv_scales[1], flat_rep, layer_idx,
+                )
+            elif kv_scales is not None:
                 fn = (
                     da.ancestry_decode_attention_i8 if da.supported(kv)
                     else da.reference_i8
@@ -300,12 +342,18 @@ class UnitDecoder(nn.Module):
         else:
             # Plain incremental decoding (untiled state, S == 1): slot k's
             # history is its own rows; single-query matvec form.
-            T = kv.shape[3]
+            if int4:
+                from mm_s2ut.ops.decode_attention import i4_unpack
+
+                kv_layer = i4_unpack(kv[:, layer_idx])  # (B, H, T, 2Dh)
+            else:
+                kv_layer = kv[:, layer_idx]
+            T = kv_layer.shape[2]
             logit_self = jnp.einsum(
                 "bqhd,bqhd->bhq", q, k_new, preferred_element_type=jnp.float32
             )[..., None]  # (N, H, 1, 1)
-            k_sq = kv[:, layer_idx, :, :, :Dh]  # (B, H, T, Dh)
-            v_sq = kv[:, layer_idx, :, :, Dh:]
+            k_sq = kv_layer[:, :, :, :Dh]  # (B, H, T, Dh)
+            v_sq = kv_layer[:, :, :, Dh:]
             if kv_scales is not None:
                 k_sq = (k_sq.astype(jnp.float32) * kv_scales[0][:, layer_idx, :, :, None]).astype(self.dtype)
                 v_sq = (v_sq.astype(jnp.float32) * kv_scales[1][:, layer_idx, :, :, None]).astype(self.dtype)
@@ -340,7 +388,7 @@ class UnitDecoder(nn.Module):
             # Encode as flat_rep[b, k, j] = j when valid, -1 otherwise —
             # the decode-attention kernel compares it against the column id.
             B_, K_, T_ = ancestry.shape
-            S_ = kv.shape[3] // T_
+            S_ = self._flat_len(state) // T_
             t_idx = jnp.arange(T_, dtype=jnp.int32)[None, None, :]
             flat_idx = jnp.where(
                 t_idx < step_idx, t_idx * S_ + ancestry.astype(jnp.int32), -1
@@ -376,7 +424,7 @@ class UnitDecoder(nn.Module):
         kv = state["self_kv"]
         ancestry = state["ancestry"]  # (B, K, T_ring) PHYSICAL positions
         B_, K_, T_ = ancestry.shape
-        S_ = kv.shape[3] // T_
+        S_ = self._flat_len(state) // T_
         g = state["g"]
         local_step = state["local_step"]  # (B,)
         ring_base = state["ring_base"]  # (B,)
@@ -482,22 +530,47 @@ class UnitDecoder(nn.Module):
             return r.transpose(0, 2, 3, 1, 4)  # (B, nL, H, S, Dh)
 
         k_rows, v_rows = to_rows(new_ks), to_rows(new_vs)  # (B, nL, H, S, Dh)
+        int4 = kv_scales is not None and kv_scales[0].shape[3] == 2 * kv.shape[3]
         if kv_scales is not None:
-            # Per-row symmetric int8: scale = amax/127 over Dh, written
-            # alongside the rows so the kernel can dequant per column.
-            sk = jnp.max(jnp.abs(k_rows.astype(jnp.float32)), axis=-1) / 127.0
-            sv = jnp.max(jnp.abs(v_rows.astype(jnp.float32)), axis=-1) / 127.0
+            # Per-row symmetric quantization: scale = amax/levels over Dh,
+            # written alongside the rows so the kernel can dequant per
+            # column (127 levels int8, 7 int4).
+            levels = 7.0 if int4 else 127.0
+            sk = jnp.max(jnp.abs(k_rows.astype(jnp.float32)), axis=-1) / levels
+            sv = jnp.max(jnp.abs(v_rows.astype(jnp.float32)), axis=-1) / levels
             sk = jnp.maximum(sk, 1e-8)
             sv = jnp.maximum(sv, 1e-8)
             k_q = jnp.round(k_rows.astype(jnp.float32) / sk[..., None])
             v_q = jnp.round(v_rows.astype(jnp.float32) / sv[..., None])
             new_rows = jnp.clip(
-                jnp.concatenate([k_q, v_q], axis=-1), -127, 127
+                jnp.concatenate([k_q, v_q], axis=-1), -levels, levels
             ).astype(jnp.int8)
-            updates = {
-                "self_kv": jax.lax.dynamic_update_slice_in_dim(
+            if int4:
+                # Half-split nibble write (ops/decode_attention.py layout):
+                # byte p holds logical columns p (low nibble) and p + T·S/2
+                # (high). T even ⇒ the S-column write never straddles the
+                # boundary; read-merge-write of the S target bytes keeps
+                # the OTHER nibble intact (live data in the serving ring).
+                P_ = kv.shape[3]
+                is_high = write_pos >= P_
+                pb = write_pos - jnp.where(is_high, P_, 0)
+                nib = new_rows.astype(jnp.int32) & 0xF
+                old = jax.lax.dynamic_slice_in_dim(
+                    kv, pb, S_, axis=3
+                ).astype(jnp.int32) & 0xFF
+                merged = jnp.where(
+                    is_high, (old & 0x0F) | (nib << 4), (old & 0xF0) | nib
+                )
+                merged = merged - 256 * (merged >= 128)
+                kv_written = jax.lax.dynamic_update_slice_in_dim(
+                    kv, merged.astype(jnp.int8), pb, axis=3
+                )
+            else:
+                kv_written = jax.lax.dynamic_update_slice_in_dim(
                     kv, new_rows, write_pos, axis=3
-                ),
+                )
+            updates = {
+                "self_kv": kv_written,
                 "self_kv_sk": jax.lax.dynamic_update_slice_in_dim(
                     kv_scales[0], sk, write_pos, axis=3
                 ),

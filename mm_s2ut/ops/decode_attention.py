@@ -93,39 +93,63 @@ def _kernel(flat_ref, q_ref, kn_ref, vn_ref, kv_ref, o_ref):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _kernel_i8(flat_ref, q_ref, kn_ref, vn_ref, kv_ref, sk_ref, sv_ref, o_ref):
+def _quantize_q(q: jnp.ndarray, k_new: jnp.ndarray):
+    """XLA-side prep for the quantized-MXU kernels: per-(h, k) row int8
+    quantization of q and the exact (full-precision-q) self-attention
+    logit. Tiny (B·H·K·Dh) work, fused into the step by XLA."""
+    qf = q.astype(jnp.float32)
+    qs = jnp.max(jnp.abs(qf), axis=-1) / 127.0 + 1e-20  # (B, H, K)
+    q8 = jnp.round(qf / qs[..., None]).astype(jnp.int8)
+    self_logit = jnp.sum(
+        qf * k_new.astype(jnp.float32), axis=-1
+    )  # (B, H, K)
+    return q8, qs, self_logit
+
+
+def _kernel_i8(flat_ref, q8_ref, qs_ref, sl_ref, vn_ref, kv_ref, sk_ref,
+               sv_ref, o_ref):
     # int8 cache variant: kv_ref is int8 with per-column (t·S+s), per-head
-    # dequant scales sk/sv (H, T·S) f32. K's scale folds into the score
-    # row-scale AFTER the q·k matmul; V's folds into the softmax weights
-    # BEFORE the w·v matmul — both matmuls run on dequant-free int8→bf16
-    # operands, so the kernel's HBM read is half the bf16 variant's.
-    # H-batched dot_generals as in _kernel (no python head loop).
-    H, K, Dh = q_ref.shape
+    # dequant scales sk/sv (H, T·S) f32, and q arrives int8 with per-row
+    # scales qs (quantized on the XLA side). BOTH matmuls run on int8
+    # MXU operands (2× the bf16 pass rate on v5e, and no int8→bf16
+    # convert relayouts): the score matmul is exact integer accumulation
+    # (s32 = Σ q8·k8, ≤ 2^20 < f32 mantissa) dequantized by qs·sk after;
+    # the out matmul quantizes the sv-folded softmax weights per row
+    # (w8 = round(w_eff/ws·127)) and dequantizes by ws after. Measured
+    # 0.467 → 0.357 ms/call at B=128 K=10 T·S=2020 — the DMA floor
+    # (scripts_dev/int8_mxu_kernel_variants.py). The self-attention logit
+    # (current step's full-precision K) is precomputed on the XLA side
+    # and passed as sl (H, K). H-batched dot_generals as in _kernel.
+    H, K, Dh = q8_ref.shape
     flat_rep = flat_ref[...]  # (K, T·S)
     TS = flat_rep.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (K, TS), 1)
     on_path = (flat_rep == col)[None]  # (1, K, T·S)
-    q = q_ref[...]  # (H, K, Dh)
+    q8 = q8_ref[...]  # (H, K, Dh) int8
     kv = kv_ref[...]  # (H, T·S, 2·Dh) int8
-    k2 = kv[:, :, :Dh].astype(q.dtype)
-    v2 = kv[:, :, Dh:].astype(q.dtype)
-    scores = jax.lax.dot_general(
-        q, k2, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    s32 = jax.lax.dot_general(
+        q8, kv[:, :, :Dh], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
     )  # (H, K, T·S)
-    scores = scores * sk_ref[...][:, None, :]
-    scores = jnp.where(on_path, scores, NEG_INF)
-    self_logit = jnp.sum(
-        q.astype(jnp.float32) * kn_ref[...].astype(jnp.float32),
-        axis=2, keepdims=True,
+    scores = (
+        s32.astype(jnp.float32)
+        * qs_ref[...][..., None]
+        * sk_ref[...][:, None, :]
     )
+    scores = jnp.where(on_path, scores, NEG_INF)
+    self_logit = sl_ref[...][..., None]  # (H, K, 1)
     m = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), self_logit)
     p = jnp.exp(scores - m)
     p_self = jnp.exp(self_logit - m)
     denom = jnp.sum(p, axis=2, keepdims=True) + p_self
-    w = ((p / denom) * sv_ref[...][:, None, :]).astype(v2.dtype)
-    out = jax.lax.dot_general(
-        w, v2, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    w_eff = (p / denom) * sv_ref[...][:, None, :]
+    ws = jnp.max(w_eff, axis=2, keepdims=True) / 127.0 + 1e-20
+    w8 = jnp.round(w_eff / ws).astype(jnp.int8)
+    out32 = jax.lax.dot_general(
+        w8, kv[:, :, Dh:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
     )
+    out = out32.astype(jnp.float32) * ws
     out = out + (p_self / denom) * vn_ref[...].astype(jnp.float32)
     o_ref[...] = out.astype(o_ref.dtype)
 
@@ -145,13 +169,15 @@ def ancestry_decode_attention_i8(
     """int8-cache variant of :func:`ancestry_decode_attention`."""
     B, H, K, Dh = q.shape
     TS = kv.shape[3]
+    q8, qs, sl = _quantize_q(q, k_new)
     out = pl.pallas_call(
         _kernel_i8,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, K, TS), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, K), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, H, K), lambda b: (b, 0, 0)),
             pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec(
                 (None, None, H, TS, 2 * Dh),
@@ -163,19 +189,223 @@ def ancestry_decode_attention_i8(
         out_specs=pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
         interpret=interpret,
-    )(flat_rep.astype(jnp.int32), q, k_new, v_new, kv, sk, sv)
+    )(flat_rep.astype(jnp.int32), q8, qs, sl, v_new, kv, sk, sv)
     return out
 
 
 def reference_i8(q, k_new, v_new, kv, sk, sv, flat_rep, layer):
-    """XLA reference of the int8 contraction (CPU/test fallback):
-    dequantize the layer's slab and delegate."""
-    Dh = q.shape[-1]
-    slab = kv[:, layer].astype(jnp.float32)  # (B, H, T·S, 2Dh)
-    k_deq = slab[..., :Dh] * sk[:, layer][..., None]
-    v_deq = slab[..., Dh:] * sv[:, layer][..., None]
-    deq = jnp.concatenate([k_deq, v_deq], axis=-1).astype(q.dtype)
-    return reference(q, k_new, v_new, deq[:, None], flat_rep, 0)
+    """XLA reference of the int8 quantized-MXU contraction (CPU/test
+    fallback) — mirrors _kernel_i8's math exactly: int8-quantized q,
+    integer score accumulation (exact in f32), per-row int8 requantized
+    softmax weights."""
+    B, H, K, Dh = q.shape
+    q8, qs, sl = _quantize_q(q, k_new)
+    slab = kv[:, layer]  # (B, H, T·S, 2Dh) int8
+    TS = slab.shape[2]
+    s_int = jnp.einsum(
+        "bhkd,bhjd->bhkj",
+        q8.astype(jnp.float32), slab[..., :Dh].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # exact: products ≤ 127², sums ≤ 2^20
+    scores = s_int * qs[..., None] * sk[:, layer][:, :, None, :]
+    col = jnp.arange(TS, dtype=jnp.int32)
+    scores = jnp.where(flat_rep[:, None] == col, scores, NEG_INF)
+    self_logit = sl[..., None]
+    m = jnp.maximum(scores.max(axis=-1, keepdims=True), self_logit)
+    p = jnp.exp(scores - m)
+    p_self = jnp.exp(self_logit - m)
+    denom = p.sum(axis=-1, keepdims=True) + p_self
+    w_eff = (p / denom) * sv[:, layer][:, :, None, :]
+    ws = jnp.max(w_eff, axis=-1, keepdims=True) / 127.0 + 1e-20
+    w8 = jnp.round(w_eff / ws)
+    out = jnp.einsum(
+        "bhkj,bhjd->bhkd", w8, slab[..., Dh:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * ws
+    out = out + (p_self / denom) * v_new.astype(jnp.float32)
+    return out.astype(q.dtype)
+
+
+# -- int4 cache (half-split nibble packing) ---------------------------------
+#
+# Native jnp.int4 buffers don't survive this environment's device relay,
+# so the int4 cache is hand-packed into int8: the packed slab is
+# (B, L, H, T·S/2, 2·Dh) int8 where byte p holds logical key column p in
+# its LOW nibble and column p + T·S/2 in its HIGH nibble. Properties this
+# layout buys (vs packing adjacent columns):
+#   * unpacking is concat([lo, hi], axis=columns) — natural column order,
+#     so flat_rep, the scale arrays, and the on-path mask are IDENTICAL
+#     to the int8 variant (no in-kernel permutes, no index remapping);
+#   * with T even, the half boundary T·S/2 is a multiple of S, so a decode
+#     step's S-column write never straddles it — one read-merge-write of
+#     S bytes per step keeps the other nibble intact (required by the
+#     serving ring, where both halves hold live rows simultaneously);
+#   * growing the cache (beam-search segments) re-packs once per growth —
+#     O(cache) amortized over the ≥64 steps the segment runs.
+# The premise is measured, not assumed: the decode kernel is DMA-bound at
+# the bench shape (halving slab bytes halves its time — 0.475 → 0.256
+# ms/call at B=128 K=10 T·S=2010, 555 GB/s effective;
+# scripts_dev/int4_premise_probe.py), so int4 ≈ 2× the dominant decode
+# cost. Quantization: symmetric per column+head, scale = amax/7.
+
+
+def i4_pack(cols: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Pack logical columns (..., C, lanes) int8 (values in [-8, 7]) into
+    the half-split layout (..., P, lanes); C ≤ 2·P (missing columns are
+    zero)."""
+    C = cols.shape[-2]
+    pad = [(0, 0)] * cols.ndim
+    pad[-2] = (0, 2 * P - C)
+    cols = jnp.pad(cols, pad)
+    lo = cols[..., :P, :].astype(jnp.int32) & 0xF
+    hi = cols[..., P:, :].astype(jnp.int32) & 0xF
+    merged = lo | (hi << 4)  # [0, 255]
+    return (merged - 256 * (merged >= 128)).astype(jnp.int8)
+
+
+def i4_unpack(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`i4_pack`: (..., P, lanes) → (..., 2·P, lanes)
+    int8, sign-extended."""
+    wide = packed.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(wide, 28), jnp.int32(28)
+    )
+    hi = jax.lax.shift_right_arithmetic(wide, jnp.int32(4))
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+
+
+def i4_regrow(kv_packed: jnp.ndarray, P_new: int) -> jnp.ndarray:
+    """Grow a half-split packed cache (..., P_old, lanes) to P_new ≥ its
+    logical length / 2: the half boundary moves with the capacity, so
+    every stored column must be re-paired. Pure int8 bit ops (shifts are
+    bit-exact two's complement), one fused elementwise pass."""
+    lo = kv_packed & 0xF                          # columns 0..P_old-1
+    hi = jnp.right_shift(kv_packed, 4) & 0xF      # columns P_old..2P_old-1
+    cols = jnp.concatenate([lo, hi], axis=-2)     # (..., 2·P_old, lanes)
+    pad = [(0, 0)] * cols.ndim
+    pad[-2] = (0, 2 * P_new - cols.shape[-2])
+    cols = jnp.pad(cols, pad)
+    return cols[..., :P_new, :] | jnp.left_shift(cols[..., P_new:, :], 4)
+
+
+def _kernel_i4(flat_ref, q8_ref, qs_ref, sl_ref, vn_ref, kv_ref, sk_ref,
+               sv_ref, o_ref):
+    # int4 cache variant: kv_ref (H, T·S/2, 2·Dh) int8 nibble-packed (see
+    # module comment). Unpack = int32 widen + two shifts back to int8
+    # (Mosaic rejects int8-native shifts and cross-bitwidth bitcasts),
+    # then the same quantized-MXU contraction as _kernel_i8, split per
+    # half to avoid materializing an (H, T·S, ·) intermediate. Measured
+    # 0.410 ms/call vs int8's 0.357 at the bench shape — the unpack VPU
+    # cost exceeds the DMA it saves, so int4 is a MEMORY option (4× the
+    # co-resident decodes), not a speed one.
+    H, K, Dh = q8_ref.shape
+    flat_rep = flat_ref[...]  # (K, T·S)
+    TS = flat_rep.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, TS), 1)
+    on_path = (flat_rep == col)[None]  # (1, K, T·S)
+    q8 = q8_ref[...]  # (H, K, Dh) int8
+    wide = kv_ref[...].astype(jnp.int32)  # (H, T·S/2, 2·Dh)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(wide, 28), jnp.int32(28)
+    ).astype(jnp.int8)
+    hi = jax.lax.shift_right_arithmetic(wide, jnp.int32(4)).astype(jnp.int8)
+    dims = (((2,), (2,)), ((0,), (0,)))
+    s32 = jnp.concatenate(
+        [
+            jax.lax.dot_general(q8, lo[:, :, :Dh], dims,
+                                preferred_element_type=jnp.int32),
+            jax.lax.dot_general(q8, hi[:, :, :Dh], dims,
+                                preferred_element_type=jnp.int32),
+        ],
+        axis=2,
+    )  # (H, K, T·S)
+    scores = (
+        s32.astype(jnp.float32)
+        * qs_ref[...][..., None]
+        * sk_ref[...][:, None, :]
+    )
+    scores = jnp.where(on_path, scores, NEG_INF)
+    self_logit = sl_ref[...][..., None]
+    m = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), self_logit)
+    p = jnp.exp(scores - m)
+    p_self = jnp.exp(self_logit - m)
+    denom = jnp.sum(p, axis=2, keepdims=True) + p_self
+    w_eff = (p / denom) * sv_ref[...][:, None, :]
+    ws = jnp.max(w_eff, axis=2, keepdims=True) / 127.0 + 1e-20
+    w8 = jnp.round(w_eff / ws).astype(jnp.int8)
+    P = TS // 2
+    wv_dims = (((2,), (1,)), ((0,), (0,)))
+    out32 = jax.lax.dot_general(
+        w8[:, :, :P], lo[:, :, Dh:], wv_dims,
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        w8[:, :, P:], hi[:, :, Dh:], wv_dims,
+        preferred_element_type=jnp.int32,
+    )
+    out = out32.astype(jnp.float32) * ws
+    out = out + (p_self / denom) * vn_ref[...].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("layer", "interpret"))
+def ancestry_decode_attention_i4(
+    q: jnp.ndarray,        # (B, H, K, Dh), already scaled by Dh^-0.5
+    k_new: jnp.ndarray,    # (B, H, K, Dh)
+    v_new: jnp.ndarray,    # (B, H, K, Dh)
+    kv: jnp.ndarray,       # (B, L, H, T·S/2, 2·Dh) int8 nibble-packed
+    sk: jnp.ndarray,       # (B, L, H, T·S) f32 per-column K dequant scale
+    sv: jnp.ndarray,       # (B, L, H, T·S) f32 per-column V dequant scale
+    flat_rep: jnp.ndarray,
+    layer: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int4-cache variant of :func:`ancestry_decode_attention`."""
+    B, H, K, Dh = q.shape
+    P = kv.shape[3]
+    TS = 2 * P
+    q8, qs, sl = _quantize_q(q, k_new)
+    out = pl.pallas_call(
+        _kernel_i4,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, K, TS), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, K), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, H, K), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec(
+                (None, None, H, P, 2 * Dh),
+                lambda b: (b, layer, 0, 0, 0),
+            ),
+            pl.BlockSpec((None, None, H, TS), lambda b: (b, layer, 0, 0)),
+            pl.BlockSpec((None, None, H, TS), lambda b: (b, layer, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
+        interpret=interpret,
+    )(flat_rep.astype(jnp.int32), q8, qs, sl, v_new, kv, sk, sv)
+    return out
+
+
+def reference_i4(q, k_new, v_new, kv, sk, sv, flat_rep, layer):
+    """XLA reference of the int4 quantized-MXU contraction (CPU/test
+    fallback): unpack the layer's slab to int8 columns and delegate to
+    the int8 reference (whose math _kernel_i4 mirrors exactly)."""
+    slab = i4_unpack(kv[:, layer])  # (B, H, T·S, 2Dh) int8
+    return reference_i8(
+        q, k_new, v_new, slab[:, None], sk[:, layer][:, None],
+        sv[:, layer][:, None], flat_rep, 0,
+    )
+
+
+def supported_i4(kv: jnp.ndarray) -> bool:
+    """Pallas int4 kernel: real TPU, packed slab + its bf16 unpacked
+    halves fit VMEM (the unpack intermediates are ~4× the packed bytes)."""
+    if jax.devices()[0].platform in ("cpu", "gpu"):
+        return False
+    H, P, lanes = kv.shape[2], kv.shape[3], kv.shape[4]
+    slab = H * P * lanes  # int8 bytes
+    return 2 * slab + 5 * slab < 12 * 2**20
 
 
 @functools.partial(jax.jit, static_argnames=("layer", "interpret"))

@@ -24,7 +24,7 @@ from mm_s2ut.infer.beam_search import tile_state_for_beams
 from mm_s2ut.models.decoder import UnitDecoder
 
 import os
-B, T_SRC, MAX_LEN, V = 32, 250, 200, 1004
+B, T_SRC, MAX_LEN, V = int(os.environ.get("BISECT_B", "32")), 250, 200, 1004
 BEAM = int(os.environ.get("BISECT_BEAM", "5"))
 KV = os.environ.get("BISECT_KV") or None
 
@@ -124,3 +124,23 @@ try:
     print(f"no-cross  : {timed_chain(dec, params, state):.3f} ms/step", flush=True)
 finally:
     L.MultiHeadAttention.__call__ = orig_cross
+
+
+def core_no_scale_write(self, prev_token, state, pos_offset, flat_rep, write_pos, plain_step_idx):
+    logits, updates = orig_core(self, prev_token, state, pos_offset, flat_rep, write_pos, plain_step_idx)
+    kept = {k: v for k, v in updates.items() if k == "self_kv"}
+    return logits, kept
+
+
+def core_no_kv_write(self, prev_token, state, pos_offset, flat_rep, write_pos, plain_step_idx):
+    logits, updates = orig_core(self, prev_token, state, pos_offset, flat_rep, write_pos, plain_step_idx)
+    kept = {k: v for k, v in updates.items() if k != "self_kv"}
+    return logits, kept
+
+
+if KV:
+    D.UnitDecoder._step_core = core_no_scale_write
+    print(f"no-scale-w: {timed_chain(dec, params, state):.3f} ms/step", flush=True)
+    D.UnitDecoder._step_core = core_no_kv_write
+    print(f"no-kv-w   : {timed_chain(dec, params, state):.3f} ms/step", flush=True)
+    D.UnitDecoder._step_core = orig_core

@@ -32,22 +32,26 @@ def run(TS, steps=100):
     sv = jnp.asarray(rng.rand(B, L, H, TS), jnp.float32) * 0.01
     flat = jnp.asarray(rng.randint(0, TS, (B, K, TS)), jnp.int32)
 
+    # Arrays must be jit ARGUMENTS: closed-over arrays are baked into the
+    # HLO as constants, and the remote-compile relay rejects the >200 MB
+    # request body (HTTP 413).
     @partial(jax.jit, static_argnames=("n",))
-    def chain(q, n):
+    def chain(q, kn, vn, kv, sk, sv, flat, n):
         def body(qc, _):
             out = da.ancestry_decode_attention_i8(qc, kn, vn, kv, sk, sv, flat, 0)
             return out.astype(qc.dtype), ()
         out, _ = jax.lax.scan(body, q, None, length=n)
         return out.sum()
 
-    float(chain(q, n=2))
-    float(chain(q, n=steps))
+    args = (q, kn, vn, kv, sk, sv, flat)
+    float(chain(*args, n=2))
+    float(chain(*args, n=steps))
 
     def timed(n):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            float(chain(q, n=n))
+            float(chain(*args, n=n))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -161,3 +161,65 @@ def test_int8_kv_cache_across_segment_growth():
     np.testing.assert_allclose(
         np.asarray(scores_q), np.asarray(scores_fp), atol=6e-2
     )
+
+
+def test_int4_kv_cache_matches_bf16_decode():
+    """int4 nibble-packed decode cache: same search decisions as the
+    exact cache on a well-separated toy model (scores agree to int4
+    precision)."""
+    dec, params, enc_out, enc_mask = make_decoder()
+    K, max_len = 3, 8
+
+    def run(kv_dtype):
+        state = dec.apply(
+            params, enc_out, enc_mask, max_len + 1,
+            method=UnitDecoder.init_state, kv_dtype=kv_dtype,
+        )
+        state = tile_state_for_beams(state, K)
+
+        def step_fn(tokens, st):
+            return dec.apply(params, tokens, st, method=UnitDecoder.step)
+
+        return beam_search(
+            step_fn, state, 1, beam_size=K, max_len=max_len,
+            eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        )
+
+    seqs_fp, scores_fp = run(None)
+    seqs_q, scores_q = run("int4")
+    assert trim_hypothesis(np.asarray(seqs_q)[0, 0], EOS, PAD) == \
+        trim_hypothesis(np.asarray(seqs_fp)[0, 0], EOS, PAD)
+    np.testing.assert_allclose(
+        np.asarray(scores_q), np.asarray(scores_fp), atol=2e-1
+    )
+
+
+def test_int4_kv_cache_across_segment_growth():
+    """Segment growth re-packs the nibble cache for the moved half
+    boundary (i4_regrow) — scores stay finite and close to the exact
+    cache across the 64-entry boundary; odd max_len exercises the
+    round-to-even allocation."""
+    dec, params, enc_out, enc_mask = make_decoder()
+    K, max_len = 2, 70  # crosses the 64-entry first segment
+
+    def run(kv_dtype):
+        state = dec.apply(
+            params, enc_out, enc_mask, max_len + 1,  # 71 → rounds to 72
+            method=UnitDecoder.init_state, kv_dtype=kv_dtype,
+        )
+        state = tile_state_for_beams(state, K)
+
+        def step_fn(tokens, st):
+            return dec.apply(params, tokens, st, method=UnitDecoder.step)
+
+        return beam_search(
+            step_fn, state, 1, beam_size=K, max_len=max_len,
+            eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        )
+
+    seqs_q, scores_q = run("int4")
+    seqs_fp, scores_fp = run(None)
+    assert np.isfinite(np.asarray(scores_q)).all()
+    np.testing.assert_allclose(
+        np.asarray(scores_q), np.asarray(scores_fp), atol=2e-1
+    )

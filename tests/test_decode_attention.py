@@ -193,3 +193,80 @@ def test_precompute_kv_int8_dequantizes_close():
     v_deq = np.asarray(q8["kv"][..., Dh:], np.float32) * np.asarray(q8["sv"])[..., None]
     np.testing.assert_allclose(k_deq, np.asarray(fp["kv"][..., :Dh]), atol=2e-2)
     np.testing.assert_allclose(v_deq, np.asarray(fp["kv"][..., Dh:]), atol=2e-2)
+
+
+# -- int4 (half-split nibble packing) ----------------------------------------
+
+
+def _quantize_i4(kv):
+    """Per-column symmetric int4 of an interleaved K‖V cache (the
+    UnitDecoder._step_core int4 write-path convention): values in
+    [-7, 7], scale = amax/7."""
+    Dh = kv.shape[-1] // 2
+    k_half = np.asarray(kv[..., :Dh], np.float32)
+    v_half = np.asarray(kv[..., Dh:], np.float32)
+    sk = np.maximum(np.abs(k_half).max(-1), 1e-8) / 7.0
+    sv = np.maximum(np.abs(v_half).max(-1), 1e-8) / 7.0
+    k_q = np.clip(np.round(k_half / sk[..., None]), -7, 7)
+    v_q = np.clip(np.round(v_half / sv[..., None]), -7, 7)
+    cols = jnp.asarray(np.concatenate([k_q, v_q], -1).astype(np.int8))
+    return cols, jnp.asarray(sk), jnp.asarray(sv)
+
+
+def test_i4_pack_unpack_roundtrip():
+    rng = np.random.RandomState(10)
+    cols = jnp.asarray(rng.randint(-8, 8, (3, 12, 16)), jnp.int8)
+    packed = da.i4_pack(cols, 6)
+    assert packed.shape == (3, 6, 16) and packed.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(da.i4_unpack(packed)), np.asarray(cols))
+    # Short column count pads with zeros.
+    packed = da.i4_pack(cols[:, :9], 6)
+    out = np.asarray(da.i4_unpack(packed))
+    np.testing.assert_array_equal(out[:, :9], np.asarray(cols[:, :9]))
+    assert (out[:, 9:] == 0).all()
+
+
+@pytest.mark.parametrize("P_old,P_new", [(6, 12), (8, 11)])
+def test_i4_regrow_preserves_columns(P_old, P_new):
+    """Growth re-pairs every stored column for the new half boundary —
+    both the doubling case and the final partial growth (P_new < 2·P_old,
+    where old high-half columns land in new high nibbles)."""
+    rng = np.random.RandomState(11)
+    cols = jnp.asarray(rng.randint(-8, 8, (2, 2 * P_old, 16)), jnp.int8)
+    packed = da.i4_pack(cols, P_old)
+    grown = da.i4_regrow(packed, P_new)
+    assert grown.shape == (2, P_new, 16)
+    out = np.asarray(da.i4_unpack(grown))
+    np.testing.assert_array_equal(out[:, : 2 * P_old], np.asarray(cols))
+    assert (out[:, 2 * P_old:] == 0).all()
+
+
+def test_reference_i4_close_to_fp():
+    q, k_new, v_new, kv, ancestry, flat_rep, step = _make(seed=12)
+    cols, sk, sv = _quantize_i4(kv)
+    packed = da.i4_pack(cols, cols.shape[-2] // 2)
+    for layer in range(2):
+        want = np.asarray(da.reference(q, k_new, v_new, kv, flat_rep, layer))
+        got = np.asarray(
+            da.reference_i4(q, k_new, v_new, packed, sk, sv, flat_rep, layer)
+        )
+        # int4 per-column quantization: ~7% relative error on K/V.
+        np.testing.assert_allclose(got, want, atol=1e-1, rtol=2e-1)
+
+
+def test_kernel_i4_interpret_matches_reference_i4():
+    q, k_new, v_new, kv, ancestry, flat_rep, step = _make(
+        B=2, H=2, K=5, T=24, Dh=16, step=17, seed=13
+    )
+    cols, sk, sv = _quantize_i4(kv)
+    packed = da.i4_pack(cols, cols.shape[-2] // 2)
+    for layer in range(2):
+        ref = np.asarray(
+            da.reference_i4(q, k_new, v_new, packed, sk, sv, flat_rep, layer)
+        )
+        got = np.asarray(
+            da.ancestry_decode_attention_i4(
+                q, k_new, v_new, packed, sk, sv, flat_rep, layer, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -164,3 +164,55 @@ def test_server_with_image_fusion_matches_offline():
         got = results[req.uid]
         assert got.tokens == toks, (req.uid, got.tokens, toks)
         np.testing.assert_allclose(got.score, float(scores[0, 0]), atol=1e-4)
+
+
+def test_server_int4_ring_wrap_matches_offline_int4():
+    """int4 nibble-packed ring: the read-merge-write nibble updates must
+    preserve live data in the OTHER half's nibbles across ring wraps —
+    server results equal the offline int4 beam search per utterance."""
+    model, params = _model()
+    rng = np.random.RandomState(9)
+    reqs = [
+        Request(uid=i, features=rng.randn(24, 80).astype(np.float32), length=24)
+        for i in range(5)
+    ]
+    srv = ContinuousServer(
+        model, params, slots=1, beam_size=K, ring=16, chunk=4,
+        enc_frames=64, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        max_len_a=0.0, max_len_b=MAX_LEN, kv_cache_dtype="int4",
+    )
+    results = {r.uid: r for r in srv.run(reqs)}
+    assert len(results) == 5
+
+    def _offline_int4(feats, length, enc_frames=64):
+        f = np.zeros((1, enc_frames, 80), np.float32)
+        f[0, : feats.shape[0]] = feats
+        enc = model.apply(
+            params, jnp.asarray(f), jnp.asarray([length], np.int32), (), (), None,
+            deterministic=True, method=model.encode,
+        )
+        state = model.apply(
+            params, enc, MAX_LEN + 1, method=model.decode_init, kv_dtype="int4"
+        )
+        state = tile_state_for_beams(state, K)
+        seqs, scores = beam_search(
+            lambda t, s: model.apply(params, t, s, method=model.decode_step),
+            state, 1, beam_size=K, max_len=MAX_LEN,
+            eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        )
+        toks = [int(t) for t in np.asarray(seqs)[0, 0]]
+        if EOS in toks:
+            toks = toks[: toks.index(EOS)]
+        return toks, float(scores[0, 0])
+
+    for req in reqs:
+        want_toks, want_score = _offline_int4(req.features, req.length)
+        got = results[req.uid]
+        assert got.tokens == want_toks, (req.uid, got.tokens, want_toks)
+        # Scores are NOT bitwise-comparable under a quantized cache: the
+        # server and offline programs compute the same math with different
+        # fusion/layout, and ulp-level input differences flip round()
+        # decisions in the per-column quantizer (one flip ≈ one quantum).
+        # Measured: exact-cache server-vs-offline delta 6e-8; int8/int4
+        # ~5e-4. Tokens must still agree exactly.
+        np.testing.assert_allclose(got.score, want_score, atol=3e-3)
