@@ -27,6 +27,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--beam", type=int, default=None)
     ap.add_argument("--max-len-a", type=float, default=None)
     ap.add_argument("--max-len-b", type=int, default=None)
+    ap.add_argument("--kv-cache-dtype", default=None,
+                    choices=["bfloat16", "int8", "int4"],
+                    help="decode KV-cache storage (overrides the config)")
     args = ap.parse_args(argv)
 
     from mm_s2ut import registry
@@ -40,6 +43,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.generation.max_len_a = args.max_len_a
     if args.max_len_b is not None:
         cfg.generation.max_len_b = args.max_len_b
+    if args.kv_cache_dtype is not None:
+        cfg.generation.kv_cache_dtype = args.kv_cache_dtype
 
     task = registry.get_task(cfg.task)(cfg)
     # eos_token override (reference config/xm_transformer.yaml:7 via

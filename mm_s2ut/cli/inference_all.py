@@ -74,6 +74,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--reference-root", required=True,
                     help="dir with {subset}.txt reference transcripts")
     ap.add_argument("--beam", type=int, default=10)
+    ap.add_argument("--kv-cache-dtype", default=None,
+                    choices=["bfloat16", "int8", "int4"],
+                    help="decode KV-cache storage (overrides the config)")
     args = ap.parse_args(argv)
 
     if args.mode == "units" and not (args.vocoder and args.asr_model):
@@ -97,6 +100,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             "--gen-subset", subset,
             "--results-path", str(out),
             "--beam", str(args.beam),
+            *(["--kv-cache-dtype", args.kv_cache_dtype]
+              if args.kv_cache_dtype else []),
         ])
         gen_file = out / f"generate-{subset}.txt"
         unit_file = out / f"{subset}.unit"
@@ -141,6 +146,8 @@ def _text_mode(args) -> int:
             "--gen-subset", subset,
             "--results-path", str(out),
             "--beam", str(args.beam),
+            *(["--kv-cache-dtype", args.kv_cache_dtype]
+              if args.kv_cache_dtype else []),
         ])
         hyp_file = out / "hyp.txt"
         n = extract_text_from_generate(

@@ -365,6 +365,10 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force jax onto CPU (reproducible anywhere; the "
                     "models here are tiny)")
+    ap.add_argument("--kv-cache-dtype", default=None,
+                    choices=["bfloat16", "int8", "int4"],
+                    help="decode KV-cache storage for the measured chain "
+                    "(quality gate for the quantized decode paths)")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -401,6 +405,8 @@ def main(argv=None):
         "--asr-model", str(root / "asr"),
         "--reference-root", str(root / "refs"),
         "--beam", "5",
+        *(["--kv-cache-dtype", args.kv_cache_dtype]
+          if args.kv_cache_dtype else []),
     ])
     if rc != 0:
         return rc
