@@ -273,6 +273,11 @@ class ModelConfig:
     # P(data, model, None) between layers (needs a jax.set_mesh context;
     # no-op otherwise). Beyond-reference capability (SURVEY §2.3).
     sequence_parallel: bool = False
+    # Opt-in pipeline parallelism: >1 runs the encoder transformer stack
+    # as a GPipe over the mesh's `pipe` axis (parallel/pipeline.py).
+    # Beyond-reference capability (SURVEY §2.3).
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0  # 0 ⇒ defaults to pipeline_stages
     # Auxiliary multitask heads (F9).
     multitask: List[MultitaskTaskConfig] = field(default_factory=list)
     # Multimodal fusion block.
@@ -346,6 +351,7 @@ class MeshConfig:
 
     data: int = -1  # -1 ⇒ all devices on the data axis
     model: int = 1
+    pipe: int = 1
 
 
 @dataclass

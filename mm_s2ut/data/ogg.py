@@ -237,11 +237,12 @@ def encode_ogg_bytes(wav, sample_rate: int, quality: float = 0.4) -> bytes:
         if n > 0:
             bufpp = vorbis.vorbis_analysis_buffer(vd, ctypes.c_int(n))
             for c in range(C):
-                ctypes.memmove(
-                    bufpp[c],
-                    np.ascontiguousarray(wav[i:i + n, c]).ctypes.data,
-                    n * 4,
-                )
+                # Bind the contiguous copy to a name: `.ctypes.data` does
+                # NOT keep a temporary alive, so inlining it frees the
+                # buffer before memmove reads it (flaky corrupt channels).
+                col = np.ascontiguousarray(wav[i:i + n, c])
+                ctypes.memmove(bufpp[c], col.ctypes.data, n * 4)
+                del col
             vorbis.vorbis_analysis_wrote(vd, ctypes.c_int(n))
             i += n
         else:

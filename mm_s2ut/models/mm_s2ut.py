@@ -123,6 +123,8 @@ class MMS2UTModel(nn.Module):
             use_flash=cfg.use_flash_attention,
             remat=cfg.checkpoint_activations,
             sequence_parallel=cfg.sequence_parallel,
+            pipeline_stages=cfg.pipeline_stages,
+            pipeline_microbatches=cfg.pipeline_microbatches,
             dtype=dtype,
         )
         if cfg.speaker_embed_dim:

@@ -46,6 +46,10 @@ class SpeechTransformerEncoder(nn.Module):
     # --checkpoint-activations; here jax.checkpoint per layer)
     sequence_parallel: bool = False  # shard activations (B, T, D) as
     # P(data, model, None) between layers when a mesh context is active
+    pipeline_stages: int = 0  # >1 ⇒ run the layer stack as a GPipe over
+    # the mesh's `pipe` axis (parallel/pipeline.py); needs an active mesh
+    # with that many pipe devices
+    pipeline_microbatches: int = 0  # 0 ⇒ defaults to pipeline_stages
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -76,6 +80,41 @@ class SpeechTransformerEncoder(nn.Module):
         x = x * (~padding_mask)[..., None].astype(x.dtype)
 
         states: List[jnp.ndarray] = []
+        if self.pipeline_stages > 1:
+            if return_all_states:
+                raise ValueError(
+                    "pipeline_stages > 1 keeps per-layer states resident on "
+                    "their stage; in-layer/external fusion variants that "
+                    "need encoder_states cannot run pipelined"
+                )
+            from mm_s2ut.parallel.pipeline import PipelinedEncoderStack
+
+            mk_layer = lambda: TransformerEncoderLayer(
+                self.embed_dim, self.ffn_dim, self.num_heads,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                activation_dropout=self.activation_dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                use_flash=self.use_flash,
+                dtype=self.dtype,
+            )
+            x = PipelinedEncoderStack(
+                layer_factory=mk_layer,
+                num_layers=self.num_layers,
+                n_stages=self.pipeline_stages,
+                n_micro=self.pipeline_microbatches,
+                remat=self.remat,
+                name="pipe_stack",
+            )(x, bias, deterministic, padding_mask)
+            if self.normalize_before:
+                x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+            return {
+                "encoder_out": x,
+                "encoder_padding_mask": padding_mask,
+                "encoder_states": states,
+                "lengths": lengths,
+            }
         # static_argnums counts self: (x=1, padding_bias=2, deterministic=3,
         # key_padding_mask=4) — deterministic must stay a Python bool.
         layer_cls = (

@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 
 
@@ -30,24 +31,30 @@ def init_distributed(**kwargs) -> None:
 def make_mesh(
     data: int = -1,
     model: int = 1,
+    pipe: int = 1,
     devices: Optional[list] = None,
 ) -> Mesh:
-    """Build a 2-D (data, model) mesh over the available devices.
+    """Build a (data, pipe, model) mesh over the available devices.
 
     ``data=-1`` ⇒ use all remaining devices on the data axis. The model
-    axis is laid out innermost so TP collectives ride the fastest ICI links.
+    axis is laid out innermost so TP collectives ride the fastest ICI
+    links; the pipe axis sits between (stage hops are one microbatch of
+    activations — far lighter traffic than TP's per-layer collectives).
     """
     devs = np.asarray(devices if devices is not None else jax.devices())
     n = devs.size
     if model <= 0:
         model = 1
+    if pipe <= 0:
+        pipe = 1
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        devs = devs[: data * model]
-    return Mesh(devs.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+        if n % (model * pipe):
+            raise ValueError(
+                f"{n} devices not divisible by model={model} x pipe={pipe}")
+        data = n // (model * pipe)
+    if data * pipe * model != n:
+        devs = devs[: data * pipe * model]
+    return Mesh(devs.reshape(data, pipe, model), (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -97,7 +104,16 @@ _TP_RULES = [
 ]
 
 
-def _spec_for(path: str, ndim: int, tp: bool) -> P:
+def _spec_for(path: str, ndim: int, tp: bool, pp: bool) -> P:
+    # Pipelined stacks (parallel/pipeline.py) store per-layer params
+    # stacked on a leading L axis under `pipe_stack/layers`: shard stages
+    # over the pipe axis, then apply the TP rules to the per-layer dims.
+    if pp and "pipe_stack/layers" in path:
+        if tp:
+            for rx, spec in _TP_RULES:
+                if rx.match(path) and len([s for s in spec if s is not None]) < ndim:
+                    return P(PIPE_AXIS, *spec)
+        return P(PIPE_AXIS)
     if tp:
         for rx, spec in _TP_RULES:
             if rx.match(path) and len([s for s in spec if s is not None]) <= ndim:
@@ -107,13 +123,15 @@ def _spec_for(path: str, ndim: int, tp: bool) -> P:
 
 def param_shardings(mesh: Mesh, params: Any) -> Any:
     """NamedSharding pytree for a param pytree (flax FrozenDict or dict)."""
-    tp = mesh.shape[MODEL_AXIS] > 1
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    pp = mesh.shape.get(PIPE_AXIS, 1) > 1
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
     shardings = []
     for keypath, leaf in flat:
         path = "/".join(_key_str(k) for k in keypath)
-        shardings.append(NamedSharding(mesh, _spec_for(path, np.ndim(leaf), tp)))
+        shardings.append(
+            NamedSharding(mesh, _spec_for(path, np.ndim(leaf), tp, pp)))
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 

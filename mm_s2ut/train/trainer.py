@@ -170,7 +170,8 @@ class Trainer:
     ):
         self.cfg = cfg
         self.model = model
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh.data, cfg.mesh.model, getattr(cfg.mesh, "pipe", 1))
         self.tx = build_optimizer(cfg.train)
         if cfg.train.rdrop_alpha > 0 and criterion_name == "speech_to_unit":
             # R-Drop needs the v2 criterion (two passes + symmetric KL);

@@ -66,7 +66,7 @@ def test_mesh_and_shardings():
     from mm_s2ut.parallel import make_mesh, batch_sharding, param_shardings, shard_batch
 
     mesh = make_mesh(data=4, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "pipe": 1, "model": 2}
     params = {"layer0": {"fc1": {"kernel": np.zeros((8, 16)), "bias": np.zeros(16)}}}
     sh = param_shardings(mesh, params)
     assert sh["layer0"]["fc1"]["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
