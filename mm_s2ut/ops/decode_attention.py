@@ -447,29 +447,59 @@ def ancestry_decode_attention(
     return out
 
 
+def _cross_block_rows(B: int, H: int, S: int, Dh: int, K: int,
+                      slab_itemsize: int, i8: bool) -> int:
+    """Batch rows per cross-kernel program. Blocking NB rows grows the
+    slab DMA NB× and cuts the program count NB× — at B=128 the grid-(B,)
+    kernel is per-program-overhead-bound, not DMA-bound (measured 0.640
+    → 0.420 ms per 6-layer step at NB=16, B=128 K=10 S=250 int8;
+    scripts_dev/cross_block_probe.py). Capped by VMEM: double-buffered
+    slab + scales + bias must fit comfortably."""
+    budget = 13 * 2**20
+    for nb in (16, 8, 4, 2, 1):
+        if B % nb:
+            continue
+        slab = nb * H * S * 2 * Dh * slab_itemsize
+        # The kernel's k2/v2 slices materialize in VMEM (for i8, as bf16
+        # dequant copies = 2 bytes/elem regardless of slab dtype), and the
+        # f32 score rows live alongside exp/weight intermediates — count
+        # them or the compiler's scoped-vmem allocator rejects the kernel
+        # at the bench shape (observed 18.8 MB > 16 MB at nb=16, S=250).
+        deq = 2 * nb * H * S * Dh * 2
+        scores = 3 * nb * H * K * S * 4
+        scales = 2 * 2 * nb * H * S * 4 if i8 else 0
+        bias = 2 * nb * K * S * 4
+        if 2 * slab + deq + scores + scales + bias < budget:
+            return nb
+    return 1
+
+
 def _kernel_cross(q_ref, kv_ref, bias_ref, o_ref):
-    # One program per batch row: all H heads of the packed encoder
-    # K‖V slab (H, S, 2·Dh) in one DMA; both contractions H-batched
-    # (same rationale as _kernel). bias (K, S) f32: 0 on valid source
-    # positions, -inf on padding — pre-broadcast over K on the host
-    # side because an in-kernel sublane broadcast that crosses a tile
-    # boundary (K > 8) crashes Mosaic ("limits[i] <= dim(i)").
-    H, K, Dh = q_ref.shape
-    q = q_ref[...]
-    kv = kv_ref[...]  # (H, S, 2·Dh)
-    k2 = kv[:, :, :Dh]
-    v2 = kv[:, :, Dh:]
+    # NB batch rows per program: the packed encoder K‖V slab
+    # (NB, H, S, 2·Dh) arrives in one DMA; both contractions run
+    # (NB·H)-batched (same rationale as _kernel). bias (NB, K, S) f32:
+    # 0 on valid source positions, -inf on padding — pre-broadcast over
+    # K on the host side because an in-kernel sublane broadcast that
+    # crosses a tile boundary (K > 8) crashes Mosaic
+    # ("limits[i] <= dim(i)").
+    NB, H, K, Dh = q_ref.shape
+    S = kv_ref.shape[2]
+    q = q_ref[...].reshape(NB * H, K, Dh)
+    kv = kv_ref[...]  # (NB, H, S, 2·Dh)
+    k2 = kv[:, :, :, :Dh].reshape(NB * H, S, Dh)
+    v2 = kv[:, :, :, Dh:].reshape(NB * H, S, Dh)
     scores = jax.lax.dot_general(
         q, k2, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (H, K, S)
-    scores = scores + bias_ref[...][None]  # (K, S) → broadcast over H only
-    m = jnp.max(scores, axis=2, keepdims=True)
+    ).reshape(NB, H, K, S)
+    scores = scores + bias_ref[...][:, None]  # broadcast over H only
+    m = jnp.max(scores, axis=3, keepdims=True)
     p = jnp.exp(scores - m)
-    w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(v2.dtype)
+    w = (p / jnp.sum(p, axis=3, keepdims=True)).astype(v2.dtype)
     out = jax.lax.dot_general(
-        w, v2, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        w.reshape(NB * H, K, S), v2,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    o_ref[...] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(NB, H, K, Dh).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -484,16 +514,17 @@ def cross_decode_attention(
     two-einsum XLA path whose intermediates round-trip HBM)."""
     B, H, K, Dh = q.shape
     S = kv.shape[2]
+    nb = _cross_block_rows(B, H, S, Dh, K, kv.dtype.itemsize, i8=False)
     bias_k = jnp.broadcast_to(bias.astype(jnp.float32)[:, None, :], (B, K, S))
     return pl.pallas_call(
         _kernel_cross,
-        grid=(B,),
+        grid=(B // nb,),
         in_specs=[
-            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((None, H, S, 2 * Dh), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((None, K, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((nb, H, S, 2 * Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((nb, K, S), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((nb, H, K, Dh), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
         interpret=interpret,
     )(q, kv, bias_k)
@@ -505,25 +536,28 @@ def _kernel_cross_i8(q_ref, kv_ref, sk_ref, sv_ref, bias_ref, o_ref):
     # — paid once per (batch, layer, step) for the WHOLE decode — is half
     # the bf16 slab. Scale folding mirrors _kernel_i8: K's scale
     # multiplies the score rows after the q·k matmul, V's folds into the
-    # softmax weights before the w·v matmul.
-    H, K, Dh = q_ref.shape
-    q = q_ref[...]
-    kv = kv_ref[...]  # (H, S, 2·Dh) int8
-    k2 = kv[:, :, :Dh].astype(q.dtype)
-    v2 = kv[:, :, Dh:].astype(q.dtype)
+    # softmax weights before the w·v matmul. NB batch rows per program
+    # (see _cross_block_rows).
+    NB, H, K, Dh = q_ref.shape
+    S = kv_ref.shape[2]
+    q = q_ref[...].reshape(NB * H, K, Dh)
+    kv = kv_ref[...]  # (NB, H, S, 2·Dh) int8
+    k2 = kv[:, :, :, :Dh].astype(q.dtype).reshape(NB * H, S, Dh)
+    v2 = kv[:, :, :, Dh:].astype(q.dtype).reshape(NB * H, S, Dh)
     scores = jax.lax.dot_general(
         q, k2, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (H, K, S)
-    scores = scores * sk_ref[...][:, None, :]
-    scores = scores + bias_ref[...][None]  # (K, S) → broadcast over H only
-    m = jnp.max(scores, axis=2, keepdims=True)
+    ).reshape(NB, H, K, S)
+    scores = scores * sk_ref[...][:, :, None, :]
+    scores = scores + bias_ref[...][:, None]  # broadcast over H only
+    m = jnp.max(scores, axis=3, keepdims=True)
     p = jnp.exp(scores - m)
-    w = ((p / jnp.sum(p, axis=2, keepdims=True)) * sv_ref[...][:, None, :]
-         ).astype(v2.dtype)
+    w = ((p / jnp.sum(p, axis=3, keepdims=True))
+         * sv_ref[...][:, :, None, :]).astype(v2.dtype)
     out = jax.lax.dot_general(
-        w, v2, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        w.reshape(NB * H, K, S), v2,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    o_ref[...] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(NB, H, K, Dh).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -538,18 +572,19 @@ def cross_decode_attention_i8(
     """int8-cache variant of :func:`cross_decode_attention`."""
     B, H, K, Dh = q.shape
     S = kv.shape[2]
+    nb = _cross_block_rows(B, H, S, Dh, K, kv.dtype.itemsize, i8=True)
     bias_k = jnp.broadcast_to(bias.astype(jnp.float32)[:, None, :], (B, K, S))
     return pl.pallas_call(
         _kernel_cross_i8,
-        grid=(B,),
+        grid=(B // nb,),
         in_specs=[
-            pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((None, H, S, 2 * Dh), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((None, H, S), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, H, S), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, K, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, H, K, Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((nb, H, S, 2 * Dh), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((nb, H, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, H, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, K, S), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, H, K, Dh), lambda b: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((nb, H, K, Dh), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, K, Dh), q.dtype),
         interpret=interpret,
     )(q, kv, sk, sv, bias_k)

@@ -173,6 +173,40 @@ def test_cross_kernel_i8_interpret_matches_reference_i8():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_cross_block_rows_chooser():
+    # Bench shape (B=128, S=250, K=10 beams, int8): per-program overhead
+    # dominates → largest block whose scoped-VMEM footprint (slab +
+    # in-kernel dequant copies + score intermediates) fits; nb=16's
+    # footprint was rejected by the real compiler (18.8 MB > 16 MB).
+    assert da._cross_block_rows(128, 8, 250, 64, 10, 1, i8=True) == 8
+    # Long sources blow the VMEM budget → smaller blocks, eventually 1.
+    assert da._cross_block_rows(128, 8, 4000, 64, 10, 2, i8=False) == 1
+    # nb must divide B.
+    assert da._cross_block_rows(12, 8, 250, 64, 10, 1, i8=True) == 4
+    assert da._cross_block_rows(1, 8, 250, 64, 10, 1, i8=True) == 1
+
+
+def test_cross_kernel_blocked_grid_matches_reference():
+    """B=16 picks an NB>2 block; the blocked grid must tile batch rows
+    without mixing them."""
+    rng = np.random.RandomState(9)
+    B, H, K, S, Dh = 16, 2, 5, 24, 16
+    q = jnp.asarray(rng.randn(B, H, K, Dh), jnp.float32) * 0.3
+    kv = jnp.asarray(rng.randn(B, H, S, 2 * Dh), jnp.float32) * 0.3
+    mask = rng.rand(B, S) < 0.2
+    bias = jnp.where(jnp.asarray(mask), -1e9, 0.0).astype(jnp.float32)
+    assert da._cross_block_rows(B, H, S, Dh, K, 4, i8=False) > 2
+    ref = np.asarray(da.cross_reference(q, kv, bias))
+    got = np.asarray(da.cross_decode_attention(q, kv, bias, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    kv_q, sk, sv = _quantize(kv)
+    ref8 = np.asarray(da.cross_reference_i8(q, kv_q, sk, sv, bias))
+    got8 = np.asarray(
+        da.cross_decode_attention_i8(q, kv_q, sk, sv, bias, interpret=True)
+    )
+    np.testing.assert_allclose(got8, ref8, atol=1e-5)
+
+
 def test_precompute_kv_int8_dequantizes_close():
     """MultiHeadAttention.precompute_kv(kv_dtype='int8') stores a slab
     whose dequantized columns match the fp slab to int8 precision."""
