@@ -80,6 +80,32 @@ def _flash_call(q, k, v, bias, scale, block_q, interpret):
     return out.reshape(B, H, Tq, D).transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, bias, scale, block_q, interpret):
+    return _flash_call(q, k, v, bias, scale, block_q, interpret)
+
+
+def _flash_fwd(q, k, v, bias, scale, block_q, interpret):
+    # Save only the inputs (flash-style): the backward recomputes the
+    # softmax via the XLA reference path, whose VJP XLA fuses well. This
+    # keeps the Pallas forward usable under jax.grad (pallas_call has no
+    # autodiff rule) at the cost of one extra forward in the backward —
+    # the same trade jax.checkpoint makes.
+    return _flash_call(q, k, v, bias, scale, block_q, interpret), (q, k, v, bias)
+
+
+def _flash_bwd(scale, block_q, interpret, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, bias: reference_attention(q * scale, k, v, bias),
+        q, k, v, bias,
+    )
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -90,7 +116,8 @@ def flash_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, Tq, H, D) attention with the full-KV-in-VMEM Pallas kernel.
-    Scale defaults to D^-1/2 (pass 1.0 for pre-scaled queries)."""
+    Scale defaults to D^-1/2 (pass 1.0 for pre-scaled queries).
+    Differentiable: backward recomputes via the XLA reference path."""
     B, Tq, H, D = q.shape
     S = k.shape[1]
     scale = D**-0.5 if scale is None else scale
@@ -100,7 +127,7 @@ def flash_attention(
     else:
         bias = jnp.zeros((B, 1, 1, S), jnp.float32)
     block_q = min(block_q, max(Tq, 8))
-    return _flash_call(q, k, v, bias, scale, block_q, interpret)
+    return _flash(q, k, v, bias, scale, block_q, interpret)
 
 
 def attention(

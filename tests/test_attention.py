@@ -36,6 +36,33 @@ def test_flash_no_mask():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_flash_grad_matches_reference():
+    """jax.grad through the Pallas forward (custom_vjp recompute) equals
+    the grad of the pure-XLA reference — the kernel is trainable."""
+    B, T, S, H, D = 2, 32, 48, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    mask = jnp.zeros((B, S), bool).at[1, S // 2 :].set(True)
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, T, H, D))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, key_padding_mask=mask, interpret=True, block_q=16
+        )
+        return (out * g).sum()
+
+    bias = jnp.where(mask, NEG_INF, 0.0)[:, None, None, :]
+
+    def loss_ref(q, k, v):
+        return (reference_attention(q * D**-0.5, k, v, bias) * g).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
 def test_encoder_flash_flag_matches_reference():
     """use_flash plumbs through the encoder without changing the math
     (CPU dispatch falls back to the XLA reference path)."""
