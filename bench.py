@@ -87,6 +87,37 @@ def pipeline_flops(B, T_frames, beam, steps, cfg, voc_cfg, T_img=577, img_dim=76
     return f
 
 
+def train_flops(B, T_frames, Tt, cfg, T_img=577, img_dim=768):
+    """Analytic FLOPs (2·MACs) for ONE training update at the bench shape:
+    fwd(matmul terms) × 3 (backward ≈ 2× forward). Teacher-forced decoder
+    (full Tt at once, causal self-attention ≈ Tt²/2 per score/context)."""
+    D = cfg.encoder_embed_dim
+    Dd = cfg.decoder_embed_dim
+    V = cfg.vocab_size
+    mid = cfg.conv_channels
+    T2, T4 = T_frames // 2, T_frames // 4
+    f = 0.0
+    f += 2 * B * T2 * 5 * 80 * mid
+    f += 2 * B * T4 * 5 * (mid // 2) * (2 * D)
+    for _ in range(cfg.encoder_layers):
+        f += 2 * B * T4 * D * D * 4
+        f += 2 * 2 * B * T4 * T4 * D
+        f += 2 * 2 * B * T4 * D * cfg.encoder_ffn_embed_dim
+    # Selective-attention fusion (1 source).
+    f += 2 * B * T4 * D * D * 2 + 2 * 2 * B * T_img * img_dim * D
+    f += 2 * 2 * B * T4 * T_img * D + 2 * B * T4 * (2 * D) * D
+    # Decoder (teacher forced).
+    for _ in range(cfg.decoder_layers):
+        f += 2 * B * Tt * Dd * Dd * 4              # self qkv + out
+        f += 2 * B * Tt * Tt * Dd                  # causal scores+context (2·Tt²/2)
+        f += 2 * B * Tt * Dd * Dd * 2              # cross q + out
+        f += 2 * B * T4 * Dd * Dd * 2              # cross k + v
+        f += 2 * 2 * B * Tt * T4 * Dd              # cross scores + context
+        f += 2 * 2 * B * Tt * Dd * cfg.decoder_ffn_embed_dim
+    f += 2 * B * Tt * Dd * V                       # logits
+    return 3.0 * f
+
+
 def train_step_ms(model, cfg, B=8, steps=20):
     """Marginal per-update time of the full jitted train step (fwd bf16 +
     bwd + clip + Adam) at a training-like shape: B utterances of ~10 s
@@ -328,7 +359,12 @@ def main():
         m5, _, _ = marginal_sec(beam=5)
         extra["beam5_utt_per_sec"] = round(B / m5, 3)
         # Train step at the training shape (driver-captured, VERDICT r2 #7).
-        extra["train_step_ms"] = round(train_step_ms(model, cfg, B=8), 3)
+        t_ms = train_step_ms(model, cfg, B=8)
+        extra["train_step_ms"] = round(t_ms, 3)
+        extra["train_mfu_pct"] = round(
+            100 * train_flops(8, 1000, 100, cfg) / (t_ms / 1e3) / PEAK_BF16_FLOPS,
+            2,
+        )
 
     print(json.dumps({
         "metric": f"e2e_s2st_beam{BEAM}_vocoder_utterances_per_sec",

@@ -97,6 +97,7 @@ class ContinuousServer:
         n_img_sources: int = 0,
         img_shapes: Tuple[Tuple[int, int], ...] = (),
         kv_cache_dtype: str = "bfloat16",
+        admit_width: Optional[int] = None,
     ):
         if max_len_b >= ring:
             raise ValueError("ring must exceed max_len_b (no wrap within one utterance)")
@@ -115,6 +116,12 @@ class ContinuousServer:
         self.max_len_a, self.max_len_b = max_len_a, max_len_b
         self.img_shapes = tuple(img_shapes)[:n_img_sources] if n_img_sources else ()
         self.kv_cache_dtype = kv_cache_dtype
+        # Admission batch width: encode/transfer only this many rows per
+        # admission wave instead of the whole slot pool. Host→device
+        # transfer per refill then scales with the refill count, not with
+        # ``slots`` (at slots=128 a full-pool wave re-ships ~21 MB of
+        # features + any image sources to admit a single drained slot).
+        self.A = min(slots, admit_width) if admit_width else slots
         self._decode_chunk = jax.jit(self._decode_chunk_impl)
         self._admit = jax.jit(self._admit_impl)
         self._encode = jax.jit(self._encode_impl)
@@ -173,42 +180,51 @@ class ContinuousServer:
         del state["step"]
         return state
 
-    def _admit_impl(self, params, state, admit_mask, enc_out, enc_mask):
-        """Merge freshly encoded utterances into admitted slots and reset
-        their search state; non-admitted slots untouched."""
-        B, K, T = self.B, self.K, self.ring
-        m = admit_mask  # (B,) bool
+    def _admit_impl(self, params, state, slot_idx, valid, enc_out, enc_mask):
+        """Scatter freshly encoded utterances into admitted slots and reset
+        their search state; other slots untouched.
 
-        # Re-derive cross K/V + bias for the admission batch, merge rows.
+        ``enc_out``/``enc_mask`` carry an admission batch of width A ≤ B
+        (``admit_width``); ``slot_idx`` (A,) names the target slot of each
+        row and ``valid`` (A,) masks padding rows. Invalid rows scatter at
+        index B, which ``mode="drop"`` discards."""
+        A = slot_idx.shape[0]
+        K, T = self.K, self.ring
+        idx = jnp.where(valid, slot_idx, self.B)
+
+        def scat(old, new):
+            return old.at[idx].set(new.astype(old.dtype), mode="drop")
+
+        # Re-derive cross K/V + bias for the admission batch, scatter rows.
+        # kv_dtype must match init_state: a float re-derivation would
+        # promote the quantized cross cache on merge (dropping the int8
+        # bandwidth win and recompiling _decode_chunk after first admit).
         dec = self.model.apply(
             params,
             {"encoder_out": enc_out, "encoder_padding_mask": enc_mask,
              "encoder_states": []},
             T, method=self.model.decode_init,
+            kv_dtype=self.kv_cache_dtype,
         )
-
-        def merge(old, new, extra_dims):
-            mm = m.reshape((self.B,) + (1,) * extra_dims)
-            return jnp.where(mm, new, old)
 
         cross = [
             {
-                "kv": merge(o["kv"], n["kv"], o["kv"].ndim - 1),
+                # Scatter every per-slot array (kv + quantization scales);
+                # "index" is a shared scalar cursor, take the new one.
+                **{key: scat(o[key], n[key]) for key in o if key != "index"},
                 "index": n["index"],
             }
             for o, n in zip(state["cross"], dec["cross"])
         ]
         cross_bias = state["cross_bias"]
         if cross_bias is not None:
-            cross_bias = merge(cross_bias, dec["cross_bias"], cross_bias.ndim - 1)
+            cross_bias = scat(cross_bias, dec["cross_bias"])
 
-        alive_seq = jnp.where(
-            m[:, None, None],
-            jnp.full((B, K, T), self.pad, jnp.int32).at[:, :, 0].set(self.bos),
-            state["alive_seq"],
+        alive_seq0 = (
+            jnp.full((A, K, T), self.pad, jnp.int32).at[:, :, 0].set(self.bos)
         )
         alive_logp0 = jnp.tile(
-            jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None], (B, 1)
+            jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None], (A, 1)
         )
         src_T = (~enc_mask).sum(axis=1)
         slot_max = jnp.minimum(
@@ -218,16 +234,23 @@ class ContinuousServer:
             **state,
             "cross": cross,
             "cross_bias": cross_bias,
-            "ancestry": jnp.where(m[:, None, None], 0, state["ancestry"]),
-            "local_step": jnp.where(m, 0, state["local_step"]),
-            "ring_base": jnp.where(m, jnp.mod(state["g"], T), state["ring_base"]),
-            "alive_seq": alive_seq,
-            "alive_logp": jnp.where(m[:, None], alive_logp0, state["alive_logp"]),
-            "fin_seq": jnp.where(m[:, None, None], self.pad, state["fin_seq"]),
-            "fin_scores": jnp.where(m[:, None], NEG_INF, state["fin_scores"]),
-            "fin_flags": jnp.where(m[:, None], False, state["fin_flags"]),
-            "slot_max": jnp.where(m, slot_max, state["slot_max"]),
-            "active": jnp.logical_or(m, state["active"]),
+            "ancestry": scat(state["ancestry"], jnp.zeros((A, K, T), jnp.int32)),
+            "local_step": scat(state["local_step"], jnp.zeros((A,), jnp.int32)),
+            "ring_base": scat(
+                state["ring_base"],
+                jnp.broadcast_to(jnp.mod(state["g"], T), (A,)),
+            ),
+            "alive_seq": scat(state["alive_seq"], alive_seq0),
+            "alive_logp": scat(state["alive_logp"], alive_logp0),
+            "fin_seq": scat(
+                state["fin_seq"], jnp.full((A, K, T), self.pad, jnp.int32)
+            ),
+            "fin_scores": scat(
+                state["fin_scores"], jnp.full((A, K), NEG_INF, jnp.float32)
+            ),
+            "fin_flags": scat(state["fin_flags"], jnp.zeros((A, K), bool)),
+            "slot_max": scat(state["slot_max"], slot_max),
+            "active": state["active"].at[idx].set(True, mode="drop"),
         }
 
     def _decode_chunk_impl(self, params, state):
@@ -325,41 +348,47 @@ class ContinuousServer:
         state = self.init_state(self.params)
         slot_uid: List[Optional[Any]] = [None] * self.B
 
-        feats_buf = np.zeros((self.B, self.enc_frames, 80), np.float32)
-        len_buf = np.zeros((self.B,), np.int32)
-        img_bufs = [np.zeros((self.B, t, d), np.float32) for t, d in self.img_shapes]
-        img_mask_bufs = [np.ones((self.B, t), bool) for t, d in self.img_shapes]
+        A = self.A
+        feats_buf = np.zeros((A, self.enc_frames, 80), np.float32)
+        len_buf = np.zeros((A,), np.int32)
+        img_bufs = [np.zeros((A, t, d), np.float32) for t, d in self.img_shapes]
+        img_mask_bufs = [np.ones((A, t), bool) for t, d in self.img_shapes]
 
         while queue or any(u is not None for u in slot_uid):
-            # ---- admit into free slots ----
-            admit = np.zeros((self.B,), bool)
-            for b in range(self.B):
-                if slot_uid[b] is None and queue:
+            # ---- admit into free slots, in waves of ≤ A rows ----
+            free = [b for b in range(self.B) if slot_uid[b] is None]
+            while queue and free:
+                wave, free = free[:A], free[A:]
+                slot_idx = np.zeros((A,), np.int32)
+                valid = np.zeros((A,), bool)
+                for a, b in enumerate(wave):
+                    if not queue:
+                        break
                     req = queue.pop()
                     slot_uid[b] = req.uid
-                    admit[b] = True
+                    slot_idx[a], valid[a] = b, True
                     Tq = min(req.features.shape[0], self.enc_frames)
-                    feats_buf[b] = 0.0
-                    feats_buf[b, :Tq] = req.features[:Tq]
-                    len_buf[b] = min(req.length, self.enc_frames)
+                    feats_buf[a] = 0.0
+                    feats_buf[a, :Tq] = req.features[:Tq]
+                    len_buf[a] = min(req.length, self.enc_frames)
                     for i, (t, d) in enumerate(self.img_shapes):
-                        img_bufs[i][b] = 0.0
-                        img_mask_bufs[i][b] = True
+                        img_bufs[i][a] = 0.0
+                        img_mask_bufs[i][a] = True
                         if i < len(req.imgs):
                             ti = min(req.imgs[i].shape[0], t)
-                            img_bufs[i][b, :ti] = req.imgs[i][:ti]
-                            img_mask_bufs[i][b, :ti] = (
+                            img_bufs[i][a, :ti] = req.imgs[i][:ti]
+                            img_mask_bufs[i][a, :ti] = (
                                 req.img_masks[i][:ti]
                                 if i < len(req.img_masks) else False
                             )
-            if admit.any():
                 enc_out, enc_mask = self._encode(
                     self.params, jnp.asarray(feats_buf), jnp.asarray(len_buf),
                     tuple(jnp.asarray(x) for x in img_bufs),
                     tuple(jnp.asarray(x) for x in img_mask_bufs),
                 )
                 state = self._admit(
-                    self.params, state, jnp.asarray(admit), enc_out, enc_mask
+                    self.params, state, jnp.asarray(slot_idx),
+                    jnp.asarray(valid), enc_out, enc_mask,
                 )
 
             # ---- decode one chunk ----

@@ -126,6 +126,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     ap.add_argument("--slots", type=int, default=8,
                     help="continuous-batching slot count")
+    ap.add_argument("--admit-width", type=int, default=None,
+                    help="continuous-batching admission-wave width (rows "
+                         "encoded/transferred per refill; default: slots)")
     args = ap.parse_args(argv)
 
     if not args.audio_path and not args.manifest_file:
@@ -217,6 +220,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 vocab_size=cfg.model.vocab_size,
                 len_penalty=g.len_penalty,
                 max_len_a=g.max_len_a, max_len_b=g.max_len_b,
+                kv_cache_dtype=g.kv_cache_dtype,
+                admit_width=args.admit_width,
             )
             reqs = []
             for i, w in enumerate(wavs):

@@ -58,7 +58,10 @@ def _offline(model, params, feats, length, enc_frames=64):
     return toks, float(scores[0, 0])
 
 
-def test_server_matches_offline_beam_search():
+@pytest.mark.parametrize("admit_width", [None, 1])
+def test_server_matches_offline_beam_search(admit_width):
+    """admit_width=1 forces multi-wave bounded admission (each wave
+    encodes/transfers one row and scatters it into its slot)."""
     model, params = _model()
     rng = np.random.RandomState(3)
     n_req = 5
@@ -70,7 +73,7 @@ def test_server_matches_offline_beam_search():
     srv = ContinuousServer(
         model, params, slots=2, beam_size=K, ring=32, chunk=5,
         enc_frames=64, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
-        max_len_a=0.0, max_len_b=MAX_LEN,
+        max_len_a=0.0, max_len_b=MAX_LEN, admit_width=admit_width,
     )
     results = {r.uid: r for r in srv.run(reqs)}
     assert set(results) == set(range(n_req))
@@ -164,6 +167,43 @@ def test_server_with_image_fusion_matches_offline():
         got = results[req.uid]
         assert got.tokens == toks, (req.uid, got.tokens, toks)
         np.testing.assert_allclose(got.score, float(scores[0, 0]), atol=1e-4)
+
+
+def test_admit_preserves_quantized_cross_cache():
+    """Admission must re-derive the cross cache at the server's
+    kv_cache_dtype and merge the quantization scales: a float re-derivation
+    silently promotes the int8 cache (losing the bandwidth win) and changes
+    the state pytree, retracing _decode_chunk after the first admit."""
+    model, params = _model()
+    srv = ContinuousServer(
+        model, params, slots=2, beam_size=K, ring=16, chunk=4,
+        enc_frames=64, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        max_len_a=0.0, max_len_b=MAX_LEN, kv_cache_dtype="int8",
+    )
+    state = srv.init_state(params)
+    before = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), state)
+
+    rng = np.random.RandomState(11)
+    feats = jnp.asarray(rng.randn(2, 64, 80), jnp.float32)
+    enc_out, enc_mask = srv._encode(
+        params, feats, jnp.asarray([40, 24], np.int32), (), ()
+    )
+    st2 = srv._admit(
+        params, state, jnp.asarray([0, 1], np.int32),
+        jnp.asarray([True, False]), enc_out, enc_mask,
+    )
+
+    for c in st2["cross"]:
+        assert c["kv"].dtype == jnp.int8, c["kv"].dtype
+        assert "sk" in c and "sv" in c
+    # Admitted slot rows carry real (non-zero) quantized values + scales.
+    assert np.abs(np.asarray(st2["cross"][0]["kv"][0])).sum() > 0
+    assert np.asarray(st2["cross"][0]["sk"][0]).sum() > 0
+    # The state pytree (structure + shapes + dtypes) is admit-invariant,
+    # so _decode_chunk compiles exactly once.
+    after = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), st2)
+    assert jax.tree_util.tree_structure(before) == jax.tree_util.tree_structure(after)
+    assert jax.tree_util.tree_leaves(before) == jax.tree_util.tree_leaves(after)
 
 
 def test_server_int4_ring_wrap_matches_offline_int4():
