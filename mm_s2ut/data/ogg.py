@@ -129,13 +129,25 @@ def decode_ogg_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         out = bytearray()
         chunk = ctypes.create_string_buffer(65536)
         bitstream = ctypes.c_int(0)
+        OV_HOLE = -3  # interruption in the data — recoverable, skip
+        holes = 0
         while True:
             n = lib.ov_read(
                 ovf, chunk, len(chunk), 0, 2, 1, ctypes.byref(bitstream)
             )
             if n == 0:
                 break
-            if n < 0:  # recoverable hole in the stream — skip (libsndfile does too)
+            if n < 0:
+                # Only OV_HOLE advances the stream on retry; any other
+                # negative code (OV_EBADLINK/OV_EINVAL/...) repeats
+                # forever on a corrupt or truncated stream — raise, and
+                # bound even the hole retries defensively.
+                holes += 1
+                if n != OV_HOLE or holes > 10000:
+                    raise ValueError(
+                        f"libvorbisfile: ov_read failed (rc={n}) — "
+                        "corrupt or truncated ogg stream"
+                    )
                 continue
             out += chunk.raw[:n]
     finally:

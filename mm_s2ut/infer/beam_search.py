@@ -99,6 +99,8 @@ def beam_search(
     and scores (B, K) length-normalized, best first).
     """
     B, K, V = batch_size, beam_size, vocab_size
+    if V < 2:
+        raise ValueError(f"vocab_size must be >= 2, got {V}")
 
     alive_seq = jnp.full((B, K, max_len + 1), pad_id, jnp.int32)
     alive_seq = alive_seq.at[:, :, 0].set(bos_id)
@@ -133,10 +135,14 @@ def beam_search(
         # (value desc, then beam-major flat index) matches the single-stage
         # form: stage 1 orders within-beam ties by vocab index, stage 2
         # orders cross-beam ties by (beam, rank) — both beam-major.
-        s1, i1 = jax.lax.top_k(cand, 2 * K)  # (B, K, 2K) over V
-        top_scores, pidx = jax.lax.top_k(s1.reshape(B, 2 * K * K), 2 * K)
-        top_beam = pidx // (2 * K)  # (B, 2K)
-        top_tok = jnp.take_along_axis(i1.reshape(B, 2 * K * K), pidx, axis=1)
+        # k1 = min(2K, V): a beam can contribute at most V candidates, so
+        # the per-beam pool stays provably exhaustive for small vocabs
+        # (top_k with k > V is a trace-time error).
+        k1 = min(2 * K, V)
+        s1, i1 = jax.lax.top_k(cand, k1)  # (B, K, k1) over V
+        top_scores, pidx = jax.lax.top_k(s1.reshape(B, k1 * K), 2 * K)
+        top_beam = pidx // k1  # (B, 2K)
+        top_tok = jnp.take_along_axis(i1.reshape(B, k1 * K), pidx, axis=1)
 
         # Candidate sequences (B, 2K, L+1).
         seq2k = jnp.take_along_axis(alive_seq, top_beam[..., None], axis=1)

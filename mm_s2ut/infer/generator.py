@@ -47,6 +47,35 @@ class UnitGenerator:
             )
         )
 
+        # ONE jitted decode-init + search closure per generator: beam_search
+        # keys its jit cache on the decode_step callable, so building a
+        # fresh lambda per generate() call would retrace the whole search
+        # every batch. Bound here, the program caches per (shapes, max_len).
+        def _search(params, enc, max_len):
+            state = self.model.apply(
+                params, enc, max_len + 1, method=self.model.decode_init,
+                kv_dtype=getattr(self.cfg, "kv_cache_dtype", None),
+            )
+            state = tile_state_for_beams(state, self.cfg.beam)
+            return beam_search(
+                lambda t, s: self.model.apply(
+                    params, t, s, method=self.model.decode_step
+                ),
+                state,
+                enc["encoder_out"].shape[0],
+                beam_size=self.cfg.beam,
+                max_len=max_len,
+                eos_id=self.eos_id,
+                bos_id=self.bos_id,
+                pad_id=self.pad_id,
+                vocab_size=self.vocab_size,
+                len_penalty=self.cfg.len_penalty,
+                unk_penalty=self.cfg.unk_penalty,
+                unk_id=self.unk_id,
+            )
+
+        self._search = jax.jit(_search, static_argnames=("max_len",))
+
     def _max_len(self, src_frames: int) -> int:
         return int(
             min(
@@ -77,30 +106,7 @@ class UnitGenerator:
             tuple(jnp.asarray(x) for x in img_masks_list),
         )
         max_len = self._max_len(int(src_features.shape[1]))
-
-        state = self.model.apply(
-            self.params, enc, max_len + 1, method=self.model.decode_init,
-            kv_dtype=getattr(self.cfg, "kv_cache_dtype", None),
-        )
-        state = tile_state_for_beams(state, K)
-
-        def decode_step(tokens, st):
-            return self.model.apply(self.params, tokens, st, method=self.model.decode_step)
-
-        seqs, scores = beam_search(
-            decode_step,
-            state,
-            B,
-            beam_size=K,
-            max_len=max_len,
-            eos_id=self.eos_id,
-            bos_id=self.bos_id,
-            pad_id=self.pad_id,
-            vocab_size=self.vocab_size,
-            len_penalty=self.cfg.len_penalty,
-            unk_penalty=self.cfg.unk_penalty,
-            unk_id=self.unk_id,
-        )
+        seqs, scores = self._search(self.params, enc, max_len)
         seqs = np.asarray(seqs)
         scores = np.asarray(scores)
         results = []

@@ -98,6 +98,7 @@ class ContinuousServer:
         img_shapes: Tuple[Tuple[int, int], ...] = (),
         kv_cache_dtype: str = "bfloat16",
         admit_width: Optional[int] = None,
+        enc_feat_dim: Optional[int] = 80,
     ):
         if max_len_b >= ring:
             raise ValueError("ring must exceed max_len_b (no wrap within one utterance)")
@@ -116,6 +117,10 @@ class ContinuousServer:
         self.max_len_a, self.max_len_b = max_len_a, max_len_b
         self.img_shapes = tuple(img_shapes)[:n_img_sources] if n_img_sources else ()
         self.kv_cache_dtype = kv_cache_dtype
+        # Source layout: (T, enc_feat_dim) feature frames (the flagship
+        # fbank frontend), or raw (T,) waveform when enc_feat_dim is None
+        # (wav2vec2/XM-style encoders consume audio directly).
+        self.enc_feat_dim = enc_feat_dim
         # Admission batch width: encode/transfer only this many rows per
         # admission wave instead of the whole slot pool. Host→device
         # transfer per refill then scales with the refill count, not with
@@ -129,8 +134,11 @@ class ContinuousServer:
     # -- jitted pieces -------------------------------------------------------
 
     def _encode_impl(self, params, feats, lengths, imgs, img_masks):
+        # Positional prefix shared by MMS2UTModel.encode and
+        # MMXMTransformerModel.encode; model-specific trailing args
+        # (tgt_speaker / apply_mask) keep their defaults.
         enc = self.model.apply(
-            params, feats, lengths, imgs, img_masks, None,
+            params, feats, lengths, imgs, img_masks,
             deterministic=True, method=self.model.encode,
         )
         return enc["encoder_out"], enc["encoder_padding_mask"]
@@ -138,7 +146,11 @@ class ContinuousServer:
     def init_state(self, params) -> Dict[str, Any]:
         """All-idle server state (cross caches sized from a dummy encode)."""
         B, K, T = self.B, self.K, self.ring
-        feats = jnp.zeros((B, self.enc_frames, 80), jnp.float32)
+        fshape = (
+            (B, self.enc_frames) if self.enc_feat_dim is None
+            else (B, self.enc_frames, self.enc_feat_dim)
+        )
+        feats = jnp.zeros(fshape, jnp.float32)
         lengths = jnp.full((B,), self.enc_frames, jnp.int32)
         imgs = tuple(jnp.zeros((B, t, d), jnp.float32) for t, d in self.img_shapes)
         masks = tuple(jnp.zeros((B, t), bool) for t, d in self.img_shapes)
@@ -275,12 +287,14 @@ class ContinuousServer:
 
             cand = st["alive_logp"][:, :, None] + logp
             # Exact two-stage top-2K (see infer/beam_search.py): per-beam
-            # top-2K over V, then top-2K over the 2K² pool — identical
-            # selection, much shorter TPU sort rows.
-            s1, i1 = jax.lax.top_k(cand, 2 * K)  # (B, K, 2K)
-            top_scores, pidx = jax.lax.top_k(s1.reshape(B, 2 * K * K), 2 * K)
-            top_beam = pidx // (2 * K)
-            top_tok = jnp.take_along_axis(i1.reshape(B, 2 * K * K), pidx, axis=1)
+            # top-k1 over V, then top-2K over the K·k1 pool — identical
+            # selection, much shorter TPU sort rows. k1 = min(2K, V) keeps
+            # small vocabs valid (a beam contributes at most V candidates).
+            k1 = min(2 * K, V)
+            s1, i1 = jax.lax.top_k(cand, k1)  # (B, K, k1)
+            top_scores, pidx = jax.lax.top_k(s1.reshape(B, k1 * K), 2 * K)
+            top_beam = pidx // k1
+            top_tok = jnp.take_along_axis(i1.reshape(B, k1 * K), pidx, axis=1)
 
             seq2k = jnp.take_along_axis(st["alive_seq"], top_beam[..., None], axis=1)
             # per-slot write position local+1 (one-hot merge, (B,2K,T))
@@ -349,7 +363,11 @@ class ContinuousServer:
         slot_uid: List[Optional[Any]] = [None] * self.B
 
         A = self.A
-        feats_buf = np.zeros((A, self.enc_frames, 80), np.float32)
+        fshape = (
+            (A, self.enc_frames) if self.enc_feat_dim is None
+            else (A, self.enc_frames, self.enc_feat_dim)
+        )
+        feats_buf = np.zeros(fshape, np.float32)
         len_buf = np.zeros((A,), np.int32)
         img_bufs = [np.zeros((A, t, d), np.float32) for t, d in self.img_shapes]
         img_mask_bufs = [np.ones((A, t), bool) for t, d in self.img_shapes]

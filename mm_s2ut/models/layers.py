@@ -191,22 +191,15 @@ class MultiHeadAttention(nn.Module):
 
         new_cache = None
         if cache is not None and static_kv:
-            new_cache = cache
-            if "kv" in cache:
-                # Decode-time cross-attention over the packed (B, H, S, 2Dh)
-                # cache (precompute_kv): storage order IS the contraction
-                # order for both matmuls — no per-step transposes inside
-                # the decode loop — and beams share the B-sized buffer.
-                return self._packed_cross(
-                    q, cache["kv"], bias, query, new_cache,
-                    scales=(cache["sk"], cache["sv"]) if "sk" in cache else None,
-                )
-            k, v = cache["k"], cache["v"]
-            if k.shape[0] != query.shape[0]:
-                # Beam-broadcast cross-attention: K/V stay at batch size B
-                # while queries carry B·K beams — reads of the encoder K/V
-                # don't scale with beam size (the beams share it).
-                return self._beam_broadcast_cross(q, k, v, bias, query, new_cache)
+            # Decode-time cross-attention over the packed (B, H, S, 2Dh)
+            # cache (precompute_kv — the only static-cache producer):
+            # storage order IS the contraction order for both matmuls —
+            # no per-step transposes inside the decode loop — and beams
+            # share the B-sized buffer (beam-broadcast reads).
+            return self._packed_cross(
+                q, cache["kv"], bias, query, cache,
+                scales=(cache["sk"], cache["sv"]) if "sk" in cache else None,
+            )
         elif cache is not None:
             k_new = self._split(self.k_proj(key))
             v_new = self._split(self.v_proj(value))
@@ -231,24 +224,6 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = self.out_proj(out.reshape(*query.shape[:2], self.embed_dim))
         return out, new_cache, (weights if return_weights else None)
-
-    def _beam_broadcast_cross(self, q, k, v, bias, query, cache):
-        """q: (B·K, Tq, H, Dh) pre-scaled; k/v: (B, S, H, Dh)."""
-        B = k.shape[0]
-        BK, Tq = q.shape[:2]
-        K = BK // B
-        qb = q.reshape(B, K * Tq, *q.shape[2:])
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", qb, k, preferred_element_type=jnp.float32
-        )  # (B, H, K·Tq, S)
-        if bias is not None:
-            # bias (B, 1, Tq|1, S) broadcasts over the folded beam axis when
-            # its query dim is 1 (the decode-step case).
-            logits = logits + bias.astype(jnp.float32)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
-        out = out.reshape(BK, Tq, self.embed_dim)
-        return self.out_proj(out), cache, None
 
     def _packed_cross(self, q, kv, bias, query, cache, scales=None):
         """q: (B·K, 1, H, Dh) pre-scaled; kv: (B, H, S, 2·Dh) interleaved

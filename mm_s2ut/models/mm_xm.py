@@ -244,13 +244,18 @@ class MMXMTransformerModel(nn.Module):
         return out
 
     # Beam-search surface (same contract as MMS2UTModel).
-    def decode_init(self, enc: Dict[str, Any], max_len: int):
+    def decode_init(self, enc: Dict[str, Any], max_len: int, kv_dtype=None):
         return self.decoder.init_state(
-            enc["encoder_out"], enc["encoder_padding_mask"], max_len
+            enc["encoder_out"], enc["encoder_padding_mask"], max_len,
+            kv_dtype=kv_dtype,
         )
 
     def decode_step(self, prev_token: jnp.ndarray, state):
         return self.decoder.step(prev_token, state)
+
+    def serve_step(self, prev_token: jnp.ndarray, state):
+        """Continuous-batching decode step (infer/serving.py)."""
+        return self.decoder.serve_step(prev_token, state)
 
 
 @registry.register_model_architecture("mm_xm_transformer", "mm_xm_transformer")

@@ -304,10 +304,16 @@ class MultiModalSpeechToSpeechTask:
         def to_units(tokens):
             return self.tgt_dict.ids_to_units(tokens).tolist()
 
+        # Build the generator ONCE: its jitted encode closure is keyed on
+        # the callable, so a fresh UnitGenerator per batch would retrace
+        # and recompile the encoder every validation batch. Params are a
+        # jit argument — refresh them per call to track training.
+        gen = UnitGenerator(
+            trainer.model, trainer.state.params, self.cfg.generation
+        )
+
         def fn(batch):
-            gen = UnitGenerator(
-                trainer.model, trainer.state.params, self.cfg.generation
-            )
+            gen.params = trainer.state.params
             hyps = gen.generate(
                 np.asarray(batch["src_features"]), np.asarray(batch["src_lengths"]),
                 tuple(np.asarray(x) for x in batch.get("imgs_list", ())),

@@ -118,6 +118,11 @@ def make_train_step(
         # but leaves params/optimizer state untouched.
         ok = jnp.isfinite(grad_norm)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # Mask the post-transform updates too: with weight_decay > 0 the
+        # chain's add_decayed_weights term would still shrink the "frozen"
+        # subtree even under zero gradients (fairseq's --freezing-updates
+        # leaves frozen modules bit-identical).
+        updates = mask_frozen(updates, state.step)
         params = optax.apply_updates(state.params, updates)
         params, opt_state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), (params, opt_state),

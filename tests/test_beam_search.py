@@ -69,6 +69,30 @@ def test_beam_matches_brute_force():
     assert abs(float(scores[0, 0]) - want[0][1]) < 1e-3
 
 
+def test_beam_wider_than_half_vocab_matches_brute_force():
+    """K with V < 2K (here K=8, V=12): the two-stage top-2K must clamp its
+    stage-1 k to V (top_k with k > row length is a trace error) while
+    staying exhaustive — a beam contributes at most V candidates."""
+    dec, params, enc_out, enc_mask = make_decoder()
+    K, max_len = 8, 6
+
+    state = dec.apply(params, enc_out, enc_mask, max_len + 1, method=UnitDecoder.init_state)
+    state = tile_state_for_beams(state, K)
+
+    def step_fn(tokens, st):
+        return dec.apply(params, tokens, st, method=UnitDecoder.step)
+
+    seqs, scores = beam_search(
+        step_fn, state, 1, beam_size=K, max_len=max_len,
+        eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+    )
+    got = trim_hypothesis(np.asarray(seqs)[0, 0], EOS, PAD)
+    want = brute_force(dec, params, enc_out, enc_mask, K, max_len)
+    want_tokens = want[0][0][1:-1]
+    assert got == want_tokens, (got, want_tokens)
+    assert abs(float(scores[0, 0]) - want[0][1]) < 1e-3
+
+
 def test_beam_batch_and_padding():
     dec, params, _, _ = make_decoder()
     K, max_len, B = 2, 6, 3

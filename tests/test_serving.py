@@ -256,3 +256,66 @@ def test_server_int4_ring_wrap_matches_offline_int4():
         # Measured: exact-cache server-vs-offline delta 6e-8; int8/int4
         # ~5e-4. Tokens must still agree exactly.
         np.testing.assert_allclose(got.score, want_score, atol=3e-3)
+
+
+def test_server_xm_waveform_requests_match_offline():
+    """enc_feat_dim=None serves raw-waveform models (XM/wav2vec2 front
+    ends): XM shares the UnitDecoder serve_step/ring contract, so per-
+    utterance results must equal the offline beam search."""
+    from mm_s2ut.models.mm_xm import MMXMTransformerModel
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config
+
+    w2v = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=24, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=48, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    cfg = ModelConfig(
+        decoder_embed_dim=32, decoder_ffn_embed_dim=64, decoder_layers=1,
+        decoder_attention_heads=2, vocab_size=V, dtype="float32",
+        multimodal=MultimodalConfig(multimodal_attention_type=None),
+    )
+    model = MMXMTransformerModel(cfg, w2v_cfg=w2v)
+    rng = np.random.RandomState(0)
+    wav0 = jnp.asarray(rng.randn(1, 1600).astype(np.float32))
+    params = model.init(
+        jax.random.PRNGKey(0), wav0, jnp.asarray([1600], np.int32),
+        jnp.zeros((1, 3), jnp.int32),
+    )
+
+    reqs = [
+        Request(
+            uid=i, features=rng.randn(1200 + 200 * (i % 2)).astype(np.float32),
+            length=1200 + 200 * (i % 2),
+        )
+        for i in range(3)
+    ]
+    srv = ContinuousServer(
+        model, params, slots=2, beam_size=K, ring=32, chunk=4,
+        enc_frames=1600, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        max_len_a=0.0, max_len_b=MAX_LEN, enc_feat_dim=None, admit_width=1,
+    )
+    results = {r.uid: r for r in srv.run(reqs)}
+
+    for req in reqs:
+        w = np.zeros((1, 1600), np.float32)
+        w[0, : req.length] = req.features[: req.length]
+        enc = model.apply(
+            params, jnp.asarray(w), jnp.asarray([req.length], np.int32),
+            (), (), deterministic=True, method=model.encode,
+        )
+        state = model.apply(params, enc, MAX_LEN + 1, method=model.decode_init)
+        state = tile_state_for_beams(state, K)
+        seqs, scores = beam_search(
+            lambda t, s: model.apply(params, t, s, method=model.decode_step),
+            state, 1, beam_size=K, max_len=MAX_LEN,
+            eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        )
+        toks = [int(t) for t in np.asarray(seqs)[0, 0]]
+        if EOS in toks:
+            toks = toks[: toks.index(EOS)]
+        got = results[req.uid]
+        assert got.tokens == toks, (req.uid, got.tokens, toks)
+        np.testing.assert_allclose(got.score, float(scores[0, 0]), atol=1e-4)

@@ -298,6 +298,10 @@ def test_freezing_updates_gates_speech_branch():
     cfg = _tiny_cfg()
     cfg.model.speech_encoder_type = "hubert"
     cfg.train.freezing_updates = 2
+    # weight_decay > 0 exercises the post-transform update mask: the
+    # add_decayed_weights term must not shrink the frozen subtree
+    # (fairseq's --freezing-updates leaves frozen modules bit-identical).
+    cfg.train.weight_decay = 0.1
     w2v = Wav2Vec2Config(
         conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
         hidden_size=32, num_hidden_layers=1, num_attention_heads=2,

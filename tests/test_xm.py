@@ -74,6 +74,32 @@ def test_xm_model_forward_and_decode():
     assert seqs.shape == (2, 2, 6)
 
 
+def test_xm_unit_generator_accepts_kv_dtype():
+    """UnitGenerator.generate always forwards kv_dtype to decode_init
+    (generator.py:83); the XM model's decode_init must accept it —
+    regression for a TypeError that broke all enhanced-path generation."""
+    from mm_s2ut.config import GenerationConfig
+    from mm_s2ut.infer.generator import UnitGenerator
+
+    model = MMXMTransformerModel(_cfg(), w2v_cfg=TINY_W2V)
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, 1600).astype(np.float32)
+    lens = np.asarray([1600, 1200], np.int32)
+    imgs = (rng.randn(2, 4, 8).astype(np.float32),)
+    masks = (np.zeros((2, 4), bool),)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(wav), jnp.asarray(lens),
+        jnp.zeros((2, 5), jnp.int32),
+        tuple(jnp.asarray(x) for x in imgs),
+        tuple(jnp.asarray(x) for x in masks),
+    )
+    gen = UnitGenerator(
+        model, params, GenerationConfig(beam=2, max_len_a=0.0, max_len_b=6)
+    )
+    hypos = gen.generate(wav, lens, imgs, masks)
+    assert len(hypos) == 2 and len(hypos[0]) == 2
+
+
 def test_s2t_task_end_to_end(tmp_path):
     sr = 16000
     rng = np.random.RandomState(0)
