@@ -25,8 +25,10 @@ _build_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             str(_SRC), "-o", str(_LIB)],
+            # -march=native is safe: the .so is built on first use on the
+            # host that runs it (and rebuilt if deleted), never shipped.
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", "-pthread", str(_SRC), "-o", str(_LIB)],
             check=True, capture_output=True, timeout=120,
         )
         return True

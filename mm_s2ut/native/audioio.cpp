@@ -89,6 +89,22 @@ WavResult decode_wav(const char* path, float* out, int64_t max_samples) {
       (void)got;
       const uint8_t* p = raw.data();
       const float inv_ch = 1.0f / channels;
+      if (fmt_code == 1 && bits == 16 && channels == 1) {
+        // Hot path (16 kHz mono PCM16 — the corpus format): a tight
+        // int16→float scale loop g++ auto-vectorizes; the generic loop
+        // below carries a per-sample format switch that defeats SIMD.
+        // WAV is little-endian; memcpy keeps it alignment/aliasing-safe
+        // and compiles to a plain vector load on LE hosts.
+        for (int64_t i = 0; i < n_keep; ++i) {
+          int16_t tmp;
+          memcpy(&tmp, p + 2 * i, 2);
+          out[i] = tmp * (1.0f / 32768.f);
+        }
+        res.n_samples = (int)n_keep;
+        res.sample_rate = (int)sample_rate;
+        fclose(f);
+        return res;
+      }
       for (int64_t i = 0; i < n_keep; ++i) {
         float acc = 0.f;
         for (int c = 0; c < channels; ++c) {
@@ -166,16 +182,20 @@ void mm_load_batch(const char** paths, int n, float* out,
                    int64_t max_samples, int* lengths_out, int* rates_out,
                    int n_threads) {
   if (n_threads < 1) n_threads = 1;
-  memset(out, 0, sizeof(float) * (size_t)n * (size_t)max_samples);
   std::atomic<int> next(0);
   auto worker = [&]() {
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      WavResult r = decode_wav(paths[i], out + (int64_t)i * max_samples,
-                               max_samples);
+      float* row = out + (int64_t)i * max_samples;
+      WavResult r = decode_wav(paths[i], row, max_samples);
       lengths_out[i] = r.error ? r.error : r.n_samples;
       rates_out[i] = r.sample_rate;
+      // Zero only the pad tail (a full-buffer memset upfront doubles
+      // the memory traffic of a typical mostly-full batch).
+      int64_t valid = r.error ? 0 : r.n_samples;
+      if (valid < max_samples)
+        memset(row + valid, 0, sizeof(float) * (size_t)(max_samples - valid));
     }
   };
   std::vector<std::thread> pool;
