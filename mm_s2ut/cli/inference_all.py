@@ -156,8 +156,15 @@ def _text_mode(args) -> int:
         logger.info("extracted %d hypotheses", n)
         refs = (Path(args.reference_root) / f"{subset}.txt").read_text().splitlines()
         hyps = hyp_file.read_text().splitlines()
+        if len(refs) != len(hyps):
+            # Truncating would silently score misaligned pairs — same
+            # guard as the units path (score_from_files).
+            raise ValueError(
+                f"{subset}: {len(hyps)} hypotheses vs {len(refs)} "
+                f"references — reference file and generation are misaligned"
+            )
         # Plain sacrebleu semantics (no ASR cleaning) for text targets.
-        bleu = corpus_asr_bleu(hyps, refs[: len(hyps)], clean=False)
+        bleu = corpus_asr_bleu(hyps, refs, clean=False)
         (out / "bleu.txt").write_text(str(bleu) + "\n")
         logger.info("%s text BLEU %.2f", subset, bleu.score)
         results[subset] = bleu.score

@@ -74,8 +74,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         try:
             step = trainer.restore_checkpoint()
             logger.info("resumed from step %s", step)
-        except Exception as e:  # fresh run
+        except FileNotFoundError as e:  # genuinely fresh run
             logger.warning("no checkpoint to resume (%s); starting fresh", e)
+        # Any other error (corrupt checkpoint, config/shape mismatch)
+        # propagates: silently restarting from step 0 in a save_dir the
+        # user asked to resume would discard the run.
     writer = MetricsWriter(f"{cfg.train.save_dir}/logs")
     if cfg.train.eval_inference:
         trainer.inference_metrics_fn = task.build_inference_metrics_fn(trainer)

@@ -45,6 +45,7 @@ class LengthBucketBatcher:
         max_tokens: int,
         num_buckets: int = 8,
         quantum: int = 32,
+        tgt_quantum: int = 32,
         min_batch_size: int = 1,
         max_batch_size: Optional[int] = None,
         seed: int = 1,
@@ -69,7 +70,12 @@ class LengthBucketBatcher:
             if idx.size == 0:
                 continue
             src_len = quantize(int(self.src_lengths[idx].max()), quantum)
-            tgt_len = quantize(int(self.tgt_lengths[idx].max()), quantum // 4 or 1)
+            # Target pads quantize independently of the (samples-domain)
+            # source quantum: each bucket compiles ONE target shape either
+            # way, and a waveform-scale quantum here (e.g. 5120//4 = 1280
+            # token columns) made the teacher-forced decoder + CE run over
+            # mostly-pad positions every step.
+            tgt_len = quantize(int(self.tgt_lengths[idx].max()), tgt_quantum or 1)
             bsz = max(min_batch_size, max_tokens // max(src_len, 1))
             if max_batch_size:
                 bsz = min(bsz, max_batch_size)

@@ -43,6 +43,11 @@ def pack_units(ids: np.ndarray, n_frames_per_step: int, vocab_size: int, offset:
     if n_frames_per_step <= 1:
         return ids
     V = vocab_size - offset
+    if V**n_frames_per_step + offset > 2**31 - 1:
+        raise ValueError(
+            f"pack_units: V={V}^n={n_frames_per_step} exceeds int32 id "
+            "space — reduce n_frames_per_step or the unit vocabulary"
+        )
     body = ids[:-1].reshape(-1, n_frames_per_step) - offset
     scale = np.array(
         [V ** (n_frames_per_step - 1 - i) for i in range(n_frames_per_step)],
@@ -257,8 +262,11 @@ class SpeechToSpeechDataset:
         tag = lang if lang.startswith("<lang:") else f"<lang:{lang}>"
         return self.tgt_dict.index(tag)
 
-    def _target_item(self, index: int, row: ManifestRow) -> S2SItem:
-        """Item without audio (targets/images only) for the native path."""
+    def _encode_target(self, row: ManifestRow):
+        """(target ids, tgt_lang_tag) for one manifest row. The S2T
+        dataset overrides THIS hook (tokenizer/BPE + bos/lang-tag target
+        framing), so both __getitem__ and the native/grain collate path
+        share one target construction."""
         target = self.tgt_dict.encode_line(row.tgt_text, append_eos=True).astype(np.int64)
         n = self.n_frames_per_step
         if n > 1:
@@ -269,10 +277,15 @@ class SpeechToSpeechDataset:
         # S2S convention: lang tag as the decoder's first input token
         # (reference prepend_tgt_lang_tag_as_bos,
         # speech_to_speech_dataset.py:280-283,455-459). The S2T/xm
-        # convention (prepend_bos_and_append_tgt_lang_tag) is implemented
-        # by the s2t_dataset override.
+        # convention (prepend_bos_and_append_tgt_lang_tag) lives in the
+        # s2t_dataset _encode_target override.
         if self.cfg.prepend_tgt_lang_tag_as_bos and row.tgt_lang:
             tgt_lang_tag = self.lang_tag_index(row.tgt_lang)
+        return target, tgt_lang_tag
+
+    def _target_item(self, index: int, row: ManifestRow) -> S2SItem:
+        """Item without audio (targets/images only) for the native path."""
+        target, tgt_lang_tag = self._encode_target(row)
         imgs: List[np.ndarray] = []
         masks: List[Optional[np.ndarray]] = []
         if self.image_stores:
@@ -297,17 +310,25 @@ class SpeechToSpeechDataset:
         """Target/image collation shared by both paths (items pre-ordered)."""
         pad_id, eos_id = self.tgt_dict.pad(), self.tgt_dict.eos()
         B = len(items)
+        nfs = self.n_frames_per_step
         packed = [
-            pack_units(it.target, self.n_frames_per_step, len(self.tgt_dict))
-            for it in items
+            pack_units(it.target, nfs, len(self.tgt_dict)) for it in items
         ]
         L = tgt_pad or max(len(p) for p in packed)
-        target = np.full((B, L), pad_id, np.int32)
+        # Reference semantics (_collate_target, speech_to_speech_dataset.py
+        # :344-375): only the DECODER INPUT packs n frames per id
+        # (StackedEmbedding consumes base-V^n); the loss target stays
+        # unpacked base-V — the decoder head expands each packed position
+        # to n sub-frame logits (UnitDecoder._output). target_lengths /
+        # ntokens count PACKED positions, as in the reference.
+        Lt = L if nfs <= 1 else nfs * (L - 1) + 1
+        target = np.full((B, Lt), pad_id, np.int32)
         prev = np.full((B, L), pad_id, np.int32)
         target_lengths = np.zeros((B,), np.int32)
         for i, (it, p) in enumerate(zip(items, packed)):
             n = min(len(p), L)
-            target[i, :n] = p[:n]
+            nt = min(len(it.target), Lt)
+            target[i, :nt] = it.target[:nt]
             prev[i, 0] = it.tgt_lang_tag if it.tgt_lang_tag is not None else eos_id
             prev[i, 1:n] = p[: n - 1]
             target_lengths[i] = n

@@ -9,11 +9,11 @@ training supports temperature resampling (reference :386-394).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence  # noqa: F401
 
 import numpy as np
 
-from mm_s2ut.data.dataset import S2SItem, SpeechToSpeechDataset
+from mm_s2ut.data.dataset import SpeechToSpeechDataset
 
 
 class MultiModalSpeechToTextDataset(SpeechToSpeechDataset):
@@ -35,13 +35,16 @@ class MultiModalSpeechToTextDataset(SpeechToSpeechDataset):
             text = " ".join(self._bpe.encode(text))
         return text
 
-    def __getitem__(self, index: int) -> S2SItem:
-        item = super().__getitem__(index)
-        row = self.rows[index]
+    def _encode_target(self, row):
+        # Hook shared by __getitem__ AND the native/grain collate path —
+        # overriding __getitem__ alone left collate_native encoding raw
+        # untokenized transcripts with no bos/lang-tag framing.
         target = self.tgt_dict.encode_line(
             self.tokenize(row.tgt_text), append_eos=True
         ).astype(np.int64)
-        tgt_lang_tag = item.tgt_lang_tag
+        tgt_lang_tag = None
+        if self.cfg.prepend_tgt_lang_tag_as_bos and row.tgt_lang:
+            tgt_lang_tag = self.lang_tag_index(row.tgt_lang)
         if self.cfg.prepend_bos_and_append_tgt_lang_tag and row.tgt_lang:
             # xm/unit-mBART convention (reference config/xm_transformer.yaml:5-7
             # via fairseq SpeechToTextDataset): target =
@@ -55,11 +58,7 @@ class MultiModalSpeechToTextDataset(SpeechToSpeechDataset):
                 [[self.tgt_dict.bos()], target, [tag]]
             ).astype(np.int64)
             tgt_lang_tag = tag
-        return S2SItem(
-            index=item.index, id=item.id, source=item.source, target=target,
-            tgt_lang_tag=tgt_lang_tag, src_audio_path=item.src_audio_path,
-            imgs=item.imgs, img_masks=item.img_masks, speaker=item.speaker,
-        )
+        return target, tgt_lang_tag
 
 
 class ResampledConcat:

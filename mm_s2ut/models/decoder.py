@@ -134,10 +134,25 @@ class UnitDecoder(nn.Module):
             self.final_norm = nn.LayerNorm(dtype=self.dtype)
         if not self.share_input_output_embed:
             self.output_proj = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype)
+        if self.n_frames_per_step > 1:
+            # fairseq TransformerUnitDecoder: each packed position expands
+            # to n sub-frame states (Linear d → n·d), every sub-frame gets
+            # its own V-way logits against the shared unit embedding — the
+            # LOSS side stays base-V while the input side packs
+            # (StackedEmbedding above).
+            self.out_proj_n_frames = nn.Dense(
+                self.n_frames_per_step * self.embed_dim,
+                use_bias=False, dtype=self.dtype,
+            )
         self.drop = nn.Dropout(self.dropout)
         self.embed_scale = math.sqrt(self.embed_dim)
 
     def _output(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.n_frames_per_step > 1:
+            B, L, d = x.shape
+            x = self.out_proj_n_frames(x).reshape(
+                B, L * self.n_frames_per_step, d
+            )
         if self.share_input_output_embed:
             return self.embed.attend(x)
         return self.output_proj(x).astype(jnp.float32)
@@ -215,6 +230,14 @@ class UnitDecoder(nn.Module):
         if kv_dtype not in (None, "bfloat16", "float32", "int8", "int4"):
             raise ValueError(
                 f"kv_cache_dtype={kv_dtype!r}: expected bfloat16, int8 or int4"
+            )
+        if self.n_frames_per_step > 1:
+            # Beam decode emits one base-V token per step; searching the
+            # packed multi-frame space is unimplemented (every shipped
+            # reference config generates with n=1 — --reduce-unit data).
+            # Raising beats silently searching the wrong space.
+            raise NotImplementedError(
+                "beam decode with n_frames_per_step > 1 is not supported"
             )
         B = encoder_out.shape[0]
         H = self.num_heads

@@ -78,8 +78,16 @@ def speech_to_unit_criterion(
     """Main S2UT loss: label-smoothed CE over unit logits (+ optional
     encoder-CTC multitask term, SURVEY.md F9). Returns (loss_sum, metrics);
     callers normalize by ntokens (fairseq sample_size convention)."""
+    logits = outputs["logits"]
+    if logits.shape[1] > batch["target"].shape[1]:
+        # n_frames_per_step > 1: the decoder expands each packed position
+        # to n sub-frame logits (Lp·n columns); the unpacked target has
+        # n·(Lp−1)+1 — the trailing n−1 positions after the EOS group
+        # have no target (fairseq TransformerUnitDecoder slices the same
+        # way).
+        logits = logits[:, : batch["target"].shape[1]]
     loss, ntokens, metrics = label_smoothed_nll_loss(
-        outputs["logits"], batch["target"], label_smoothing, pad_id
+        logits, batch["target"], label_smoothing, pad_id
     )
     if ctc_weight > 0 and "ctc_logits" in outputs:
         enc_mask = outputs["encoder_padding_mask"]
@@ -141,7 +149,11 @@ def speech_to_unit_rdrop_criterion(
         loss_b, _ = speech_to_unit_criterion(
             outputs_b, batch, label_smoothing, pad_id, **kwargs
         )
-        kl = kl_symmetric(outputs["logits"], outputs_b["logits"], batch["target"], pad_id)
+        Tt = batch["target"].shape[1]
+        kl = kl_symmetric(
+            outputs["logits"][:, :Tt], outputs_b["logits"][:, :Tt],
+            batch["target"], pad_id,
+        )
         loss = loss + loss_b + rdrop_alpha * kl
         metrics["kl_loss"] = kl
         metrics["loss"] = loss

@@ -73,13 +73,29 @@ class MetricsWriter:
 
     def write(self, step: int, metrics: Dict[str, float], prefix: str = "train") -> None:
         row = {"step": step, **{f"{prefix}/{k}": v for k, v in metrics.items()}}
-        new_file = not self._csv_path.exists()
+        if self._csv_fields is None and self._csv_path.exists():
+            # Resumed run: adopt the existing header so appended rows align.
+            with open(self._csv_path, newline="") as f:
+                first = f.readline().strip()
+            self._csv_fields = first.split(",") if first else None
         if self._csv_fields is None:
             self._csv_fields = list(row)
-        with open(self._csv_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._csv_fields, extrasaction="ignore")
-            if new_file:
+            with open(self._csv_path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._csv_fields).writeheader()
+        new_fields = [k for k in row if k not in self._csv_fields]
+        if new_fields:
+            # First row of a new prefix (e.g. valid/*): extend the header
+            # in place, padding existing rows — freezing the first write's
+            # fields would silently drop every later metric family.
+            self._csv_fields += new_fields
+            with open(self._csv_path, newline="") as f:
+                rows = list(csv.DictReader(f))
+            with open(self._csv_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._csv_fields)
                 w.writeheader()
+                w.writerows(rows)
+        with open(self._csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._csv_fields)
             w.writerow(row)
         if self._tb is not None:
             import tensorflow as tf

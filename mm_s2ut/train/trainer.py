@@ -244,6 +244,11 @@ class Trainer:
             # MODEL_DIR, textless/1_train.sh:86-103).
             save_yaml(self.cfg, cfg_file)
         step = int(self.state.step)
+        if step in (self.ckpt_mgr.all_steps() or ()):
+            # Already saved at this step (e.g. max_update is a multiple of
+            # save_interval_updates, so fit()'s final save repeats the
+            # in-loop one) — orbax raises StepAlreadyExistsError otherwise.
+            return
         self.ckpt_mgr.save(
             step,
             args=ocp.args.StandardSave(

@@ -140,6 +140,23 @@ def test_metrics_sinks(tmp_path):
     csv_text = (tmp_path / "logs" / "metrics.csv").read_text()
     assert "train/loss" in csv_text and "1.2" in csv_text
 
+    # A later metric family (valid/*) must extend the header, not be
+    # silently dropped by fieldnames frozen at the first write.
+    w.write(20, {"loss": 2.5, "mcd": 7.0}, "valid")
+    import csv as _csv
+
+    with open(tmp_path / "logs" / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert rows[-1]["valid/loss"] == "2.5" and rows[-1]["valid/mcd"] == "7.0"
+    assert rows[0]["train/loss"] == "1.5"  # earlier rows padded, not lost
+
+    # Resumed run: a fresh writer appends aligned to the existing header.
+    w2 = MetricsWriter(tmp_path / "logs", enable_tensorboard=False)
+    w2.write(30, {"loss": 1.0}, "train")
+    with open(tmp_path / "logs" / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert rows[-1]["step"] == "30" and rows[-1]["train/loss"] == "1.0"
+
 
 def test_resnet_encoder():
     import jax

@@ -113,6 +113,38 @@ def test_dataset_getitem_and_collate(tmp_path):
     assert batch["img_masks_list"][0].dtype == bool
 
 
+def test_collate_multiframe_targets_stay_base_v(tmp_path):
+    """n_frames_per_step=2: the loss target stays UNPACKED base-V (every id
+    < vocab) while prev_output_tokens packs (reference _collate_target,
+    speech_to_speech_dataset.py:344-375 — only the decoder input packs);
+    target_lengths count packed positions."""
+    d, cfg, mm = _make_corpus(tmp_path, with_images=False)
+    cfg.n_frames_per_step = 2
+    ds = SpeechToSpeechDataset.from_tsv(tmp_path, "train", cfg, d, None)
+    items = [ds[0], ds[1]]
+    batch = ds.collate(items)
+
+    V = len(d)
+    assert (batch["target"] < V).all(), "loss targets must stay base-V"
+    # prev packs: some ids exceed the vocabulary (base-V^2 space).
+    prev = batch["prev_output_tokens"]
+    assert (prev >= V).any(), "decoder input should carry packed ids"
+    # target_lengths = packed lengths; unpacked target row is 2·(Lp−1)+1.
+    for row in range(len(items)):
+        Lp = batch["target_lengths"][row]
+        t_row = batch["target"][row]
+        n_unpacked = int((t_row != d.pad()).sum())
+        assert n_unpacked == 2 * (Lp - 1) + 1
+        assert t_row[n_unpacked - 1] == d.eos()
+
+
+def test_pack_units_overflow_guard():
+    d = UnitDictionary(1000)
+    ids = np.concatenate([d.units_to_ids(np.arange(8)), [d.eos()]])
+    with pytest.raises(ValueError, match="int32"):
+        pack_units(ids, 4, len(d))
+
+
 def test_collate_fixed_pad(tmp_path):
     d, cfg, mm = _make_corpus(tmp_path, with_images=False)
     ds = SpeechToSpeechDataset.from_tsv(tmp_path, "train", cfg, d, None)

@@ -141,6 +141,48 @@ def test_s2t_dataset_tokenizes_raw_text(tmp_path):
     assert item.target[-1] == d.eos()
 
 
+def test_s2t_collate_native_targets_match_getitem(tmp_path):
+    """The native/grain collate path must produce the SAME tokenized and
+    framed targets as __getitem__ collation — the tokenizer override lives
+    in _encode_target, shared by both (regression: collate_native used the
+    base encoder, yielding raw-untokenized targets on the grain path)."""
+    from mm_s2ut.config import DataConfig
+    from mm_s2ut.data.audio_io import write_wav
+    from mm_s2ut.data.dictionary import Dictionary
+    from mm_s2ut.data.manifest import ManifestRow, write_manifest
+    from mm_s2ut.data.s2t_dataset import MultiModalSpeechToTextDataset
+
+    sp_model = _write_model(tmp_path, UNIGRAM)
+    sr = 16000
+    rng = np.random.RandomState(0)
+    rows = []
+    for i, text in enumerate(["the cat", "the the cat"]):
+        write_wav(tmp_path / f"{i + 1}.wav",
+                  (0.1 * rng.randn(sr // 8)).astype(np.float32), sr)
+        rows.append(ManifestRow(str(i), f"{i + 1}.wav", sr // 8, text, 3))
+    write_manifest(tmp_path / "train.tsv", rows)
+    d = Dictionary()
+    for piece, _ in PIECES:
+        d.add_symbol(piece)
+    cfg = DataConfig(
+        data_root=str(tmp_path), audio_root=str(tmp_path),
+        target_is_code=False,
+        pre_tokenizer={"tokenizer": "none"},
+        bpe_tokenizer={"bpe": "sentencepiece", "sentencepiece_model": str(sp_model)},
+    )
+    ds = MultiModalSpeechToTextDataset("train", True, cfg, rows, d)
+    want = ds.collate([ds[0], ds[1]])
+    got = ds.collate_native(
+        np.asarray([0, 1]),
+        src_pad=int(want["src_features"].shape[1]),
+        tgt_pad=int(want["target"].shape[1]),
+    )
+    np.testing.assert_array_equal(got["target"], want["target"])
+    np.testing.assert_array_equal(
+        got["prev_output_tokens"], want["prev_output_tokens"]
+    )
+
+
 def test_extract_text_from_generate(tmp_path):
     from mm_s2ut.cli.inference_all import extract_text_from_generate
 

@@ -289,6 +289,65 @@ def test_rdrop_criterion_autoselected():
     assert np.isfinite(float(m["kl_loss"]))
 
 
+def test_train_step_multiframe_units():
+    """n_frames_per_step=2 end-to-end: packed decoder input, n·V expanded
+    logits, CE against the unpacked base-V target (reference
+    TransformerUnitDecoder out_proj_n_frames semantics)."""
+    from mm_s2ut.data.dataset import pack_units
+    from mm_s2ut.data.dictionary import UnitDictionary
+
+    cfg = _tiny_cfg()
+    cfg.model.n_frames_per_step = 2
+    cfg.model.multimodal = MultimodalConfig(multimodal_attention_type=None)
+    model = MMS2UTModel(cfg.model)
+    d = UnitDictionary(26)  # vocab 30
+    rng = np.random.RandomState(0)
+    B, T_units = 2, 8  # 8 units + EOS → packed length 5
+    raw = [
+        np.concatenate([d.units_to_ids(rng.randint(0, 26, T_units)), [d.eos()]])
+        for _ in range(B)
+    ]
+    packed = [pack_units(r, 2, len(d)) for r in raw]
+    Lp = max(len(p) for p in packed)
+    Lt = 2 * (Lp - 1) + 1
+    prev = np.full((B, Lp), d.pad(), np.int32)
+    target = np.full((B, Lt), d.pad(), np.int32)
+    for i in range(B):
+        prev[i, 0] = d.eos()
+        prev[i, 1:len(packed[i])] = packed[i][:-1]
+        target[i, : len(raw[i])] = raw[i]
+    batch = {
+        "src_features": rng.randn(B, 33, 80).astype(np.float32),
+        "src_lengths": np.asarray([33, 21]),
+        "prev_output_tokens": prev,
+        "target": target,
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["src_features"], batch["src_lengths"],
+        batch["prev_output_tokens"],
+    )
+    out = model.apply(
+        params, batch["src_features"], batch["src_lengths"],
+        batch["prev_output_tokens"],
+    )
+    # Each packed position expands to 2 sub-frame logit rows.
+    assert out["logits"].shape == (B, 2 * Lp, len(d))
+
+    # Generation over packed units is explicitly unsupported (raises).
+    # (Checked before training: the jitted train step donates params.)
+    enc = model.apply(
+        params, batch["src_features"], batch["src_lengths"],
+        deterministic=True, method=model.encode,
+    )
+    with pytest.raises(NotImplementedError):
+        model.apply(params, enc, 9, method=model.decode_init)
+
+    trainer = Trainer(cfg, model, params)
+    m1 = trainer.train_batch(batch)
+    m2 = trainer.train_batch(batch)
+    assert np.isfinite(m1["loss"]) and m2["loss"] < m1["loss"] * 1.5
+
+
 def test_freezing_updates_gates_speech_branch():
     """--freezing-updates N: the pretrained speech_encoder subtree must not
     move for the first N updates and must move afterwards (reference
