@@ -44,11 +44,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = -1.0e7
-
-
-def _length_norm(length: jnp.ndarray, alpha: float) -> jnp.ndarray:
-    return jnp.maximum(length, 1).astype(jnp.float32) ** alpha
+# Shared with offline beam search: the module's correctness contract is
+# bit-identity with infer/beam_search per utterance, so the scoring
+# constants must be the same objects, not copies that can drift.
+from mm_s2ut.infer.beam_search import NEG_INF, _length_norm
 
 
 @dataclasses.dataclass
@@ -192,7 +191,8 @@ class ContinuousServer:
         del state["step"]
         return state
 
-    def _admit_impl(self, params, state, slot_idx, valid, enc_out, enc_mask):
+    def _admit_impl(self, params, state, slot_idx, valid, enc_out, enc_mask,
+                    src_lengths):
         """Scatter freshly encoded utterances into admitted slots and reset
         their search state; other slots untouched.
 
@@ -238,9 +238,13 @@ class ContinuousServer:
         alive_logp0 = jnp.tile(
             jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None], (A, 1)
         )
-        src_T = (~enc_mask).sum(axis=1)
+        # Budget from RAW source frames (the Request.length domain), like
+        # the offline UnitGenerator._max_len — the encoder mask is
+        # conv-subsampled (4x for the flagship), which would force EOS
+        # ~4x early under max_len_a > 0.
         slot_max = jnp.minimum(
-            (self.max_len_a * src_T + self.max_len_b).astype(jnp.int32), T - 2
+            (self.max_len_a * src_lengths + self.max_len_b).astype(jnp.int32),
+            T - 2,
         )
         return {
             **state,
@@ -407,6 +411,7 @@ class ContinuousServer:
                 state = self._admit(
                     self.params, state, jnp.asarray(slot_idx),
                     jnp.asarray(valid), enc_out, enc_mask,
+                    jnp.asarray(len_buf),
                 )
 
             # ---- decode one chunk ----

@@ -339,7 +339,11 @@ def length_regulate(
     idx = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)
     idx = jnp.minimum(idx, embeddings.shape[1] - 1)
     frames = jnp.take_along_axis(embeddings, idx[..., None], axis=1)
-    total = csum[:, -1]
+    # Clamp to the frame budget: predicted durations are unbounded above,
+    # and an unclamped total would report more valid samples than the
+    # (truncated) frame tensor actually carries — callers sizing buffers
+    # by the count would overrun.
+    total = jnp.minimum(csum[:, -1], max_frames)
     mask = (t[None, :] < total[:, None]).astype(embeddings.dtype)
     return frames * mask[..., None], total
 

@@ -118,10 +118,9 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
-    # Separate kdim/vdim (the reference SelectiveAttention allows distinct
-    # q/k/v dims — reference models/fuse.py:36-64).
-    kdim: Optional[int] = None
-    vdim: Optional[int] = None
+    # Distinct q/k/v input dims (reference SelectiveAttention,
+    # models/fuse.py:36-64) are served by fusion.SelectiveAttention —
+    # nn.Dense infers input widths here, so no kdim/vdim knobs exist.
 
     def setup(self):
         if self.embed_dim % self.num_heads:

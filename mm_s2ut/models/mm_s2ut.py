@@ -371,7 +371,9 @@ class MMS2UTModel(nn.Module):
             )
             img_masks_list[0] = jnp.zeros(imgs_list[0].shape[:2], bool)
 
-        if hasattr(self, "external_towers") and imgs_list:
+        def run_towers(x, imgs_list, towers, projs, unpack):
+            """Shared external/bridge tower fusion: per-source tower over
+            the last n encoder layer states, summed across sources."""
             if not deterministic and mm.modality_dropout > 0:
                 x, imgs_list = modality_dropout(
                     self.make_rng("modality"), x, imgs_list,
@@ -379,52 +381,36 @@ class MMS2UTModel(nn.Module):
                 )
             n_layers = mm.external_multimodal_transformer_layers
             states = out.get("encoder_states") or [x]
-            speech_states = (states[-n_layers:] + [x] * n_layers)[:n_layers] \
+            speech_states = (
+                states[-n_layers:]
                 if len(states) >= n_layers else [states[-1]] * n_layers
+            )
             fused = []
             masks = list(img_masks_list) or [None] * len(imgs_list)
-            for tower, proj, img, img_mask in zip(
-                self.external_towers, self.external_img_projs, imgs_list, masks
-            ):
+            for tower, proj, img, img_mask in zip(towers, projs, imgs_list, masks):
                 img_p = proj(img.astype(x.dtype))
-                fused.append(
-                    tower(
-                        speech_states, [img_p] * n_layers,
-                        m1_key_padding_mask=padding_mask,
-                        m2_key_padding_mask=img_mask,
-                        deterministic=deterministic,
-                    )
-                )
-            x = fused[0]
-            for extra in fused[1:]:
-                x = x + extra
-
-        if hasattr(self, "bridge_towers") and imgs_list:
-            if not deterministic and mm.modality_dropout > 0:
-                x, imgs_list = modality_dropout(
-                    self.make_rng("modality"), x, imgs_list,
-                    mm.modality_dropout, mm.audio_dropout,
-                )
-            n_layers = mm.external_multimodal_transformer_layers
-            states = out.get("encoder_states") or [x]
-            speech_states = (states[-n_layers:] + [x] * n_layers)[:n_layers] \
-                if len(states) >= n_layers else [states[-1]] * n_layers
-            fused = []
-            masks = list(img_masks_list) or [None] * len(imgs_list)
-            for tower, proj, img, img_mask in zip(
-                self.bridge_towers, self.bridge_img_projs, imgs_list, masks
-            ):
-                img_p = proj(img.astype(x.dtype))
-                f1, _ = tower(
+                fused.append(unpack(tower(
                     speech_states, [img_p] * n_layers,
                     m1_key_padding_mask=padding_mask,
                     m2_key_padding_mask=img_mask,
                     deterministic=deterministic,
-                )
-                fused.append(f1)
+                )))
             x = fused[0]
             for extra in fused[1:]:
                 x = x + extra
+            return x
+
+        if hasattr(self, "external_towers") and imgs_list:
+            x = run_towers(
+                x, imgs_list, self.external_towers, self.external_img_projs,
+                unpack=lambda r: r,
+            )
+
+        if hasattr(self, "bridge_towers") and imgs_list:
+            x = run_towers(
+                x, imgs_list, self.bridge_towers, self.bridge_img_projs,
+                unpack=lambda r: r[0],
+            )
 
         if self.fusion_blocks and mm.is_fusion_top and imgs_list and not in_layer_fusion:
             # Batch-level modality dropout, train only.

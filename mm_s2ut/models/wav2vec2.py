@@ -392,6 +392,10 @@ class Wav2Vec2WithMultiModal(nn.Module):
         hidden = hidden + base.pos_conv(hidden)
         if not c.do_stable_layer_norm:
             hidden = base.encoder_norm(hidden)
+        # Encoder-input hidden dropout, same as Wav2Vec2Model.__call__ (and
+        # the HF graph the reference variant inherits) — omitting it
+        # silently regularizes the multimodal branch differently.
+        hidden = base.drop(hidden, deterministic=deterministic)
 
         bias = make_padding_bias(padding_mask, self.dtype)
         img_bias = make_padding_bias(image_mask, self.dtype) if image_mask is not None else None

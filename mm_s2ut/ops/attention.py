@@ -146,6 +146,14 @@ def attention(
             on_tpu and bias is None and D % 8 == 0 and S % 8 == 0 and Tq >= 8
         )
     if use_pallas:
+        if bias is not None:
+            # flash_attention takes only a key-padding mask; silently
+            # dropping an additive bias (e.g. causal) would return
+            # plausible-but-unmasked attention.
+            raise ValueError(
+                "use_pallas=True does not support an additive bias — "
+                "pass key_padding_mask, or leave use_pallas unset"
+            )
         return flash_attention(q, k, v, key_padding_mask, scale)
     scale = D**-0.5 if scale is None else scale
     if bias is None and key_padding_mask is not None:

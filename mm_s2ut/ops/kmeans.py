@@ -81,7 +81,11 @@ def kmeans_plusplus_init(
         chosen = jax.lax.dynamic_update_slice_in_dim(chosen, cand[nxt][None], count, 0)
         return (chosen, count + 1), None
 
-    chosen0 = jnp.zeros((k, x.shape[-1]), x.dtype).at[0].set(first[0])
+    # Fill ALL placeholder rows with the first centroid: zero-filled rows
+    # would act as phantom origin centroids inside min(axis=-1), collapsing
+    # the greedy far-point pick into farthest-from-origin sampling.
+    # Duplicates of a real centroid are harmless (the min ignores them).
+    chosen0 = jnp.broadcast_to(first, (k, x.shape[-1])).astype(x.dtype)
     (chosen, _), _ = jax.lax.scan(pick, (chosen0, jnp.asarray(1)), None, length=k - 1)
     return chosen
 

@@ -176,9 +176,14 @@ def convert_mm_s2ut_checkpoint(
     for suffix in (".weight", ".bias"):
         if "encoder.image_pre_norm_module" + suffix in sd:
             consumed.add("encoder.image_pre_norm_module" + suffix)
-    k = 0
-    while take(_linear, (f"fusion{k}", "gated_fusion", "gate"), f"encoder.gate_denses.{k}"):
-        k += 1
+    # Every gate belongs to a selective-attn block converted above; a
+    # leftover gate means a malformed/mismatched checkpoint — report it
+    # rather than half-mapping it into a fusion block with no attention.
+    if f"encoder.gate_denses.{j}.weight" in sd:
+        raise ValueError(
+            f"checkpoint has encoder.gate_denses.{j} but only {j} "
+            "selective-attention blocks — gate/attention count mismatch"
+        )
     # Speaker projection lives on the top-level model (MMS2UTModel), not
     # inside the speech encoder submodule.
     take(_linear, ("spk_emb_proj",), "encoder.spk_emb_proj")

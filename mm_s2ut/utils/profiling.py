@@ -47,6 +47,7 @@ class StepTimer:
     def measure(self, fn, *args, warmup: int = 1, iters: int = 5, **kw) -> Dict[str, float]:
         import jax
 
+        self.times = []  # fresh stats per measured fn (timers get reused)
         t0 = time.perf_counter()
         out = fn(*args, **kw)
         jax.block_until_ready(out)

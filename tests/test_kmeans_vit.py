@@ -48,6 +48,23 @@ def test_kmeans_fit_recovers_clusters():
     assert float(inertia[-1]) <= float(inertia[0])
 
 
+def test_kmeans_init_spreads_on_centered_data():
+    """Regression: zero-filled placeholder rows acted as phantom ORIGIN
+    centroids inside the greedy far-point pick, so on mean-centered data
+    the init degenerated to farthest-from-origin sampling — a cluster at
+    the origin could never receive a centroid."""
+    rng = np.random.RandomState(0)
+    # Three clusters, one AT the origin (mean-centered layout).
+    centers = np.array([[0, 0], [8, 0], [-8, 0]], np.float32)
+    x = np.concatenate(
+        [c + 0.1 * rng.randn(80, 2) for c in centers]
+    ).astype(np.float32)
+    init = np.asarray(kmeans_plusplus_init(jax.random.PRNGKey(1), jnp.asarray(x), 3))
+    d = np.sqrt(((init[:, None] - centers[None]) ** 2).sum(-1))
+    # Every true cluster (including the origin one) gets an init centroid.
+    assert (d.min(axis=0) < 1.0).all(), d
+
+
 def test_quantizer_decode_and_sklearn_compat(tmp_path):
     sklearn = pytest.importorskip("sklearn")
     import joblib

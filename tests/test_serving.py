@@ -191,6 +191,7 @@ def test_admit_preserves_quantized_cross_cache():
     st2 = srv._admit(
         params, state, jnp.asarray([0, 1], np.int32),
         jnp.asarray([True, False]), enc_out, enc_mask,
+        jnp.asarray([40, 24], np.int32),
     )
 
     for c in st2["cross"]:
@@ -319,3 +320,26 @@ def test_server_xm_waveform_requests_match_offline():
         got = results[req.uid]
         assert got.tokens == toks, (req.uid, got.tokens, toks)
         np.testing.assert_allclose(got.score, float(scores[0, 0]), atol=1e-4)
+
+
+def test_slot_budget_uses_raw_source_frames():
+    """max_len_a applies to RAW source frames (Request.length), matching
+    the offline UnitGenerator's rule — regression: the budget was computed
+    from the 4x conv-subsampled encoder mask, forcing EOS ~4x early."""
+    model, params = _model()
+    rng = np.random.RandomState(7)
+    # Budgets: 0.25·32 = 8 and 0.25·48 = 12 decode steps.
+    reqs = [
+        Request(uid=0, features=rng.randn(32, 80).astype(np.float32), length=32),
+        Request(uid=1, features=rng.randn(48, 80).astype(np.float32), length=48),
+    ]
+    srv = ContinuousServer(
+        model, params, slots=2, beam_size=K, ring=32, chunk=4,
+        enc_frames=64, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
+        max_len_a=0.25, max_len_b=0,
+    )
+    results = {r.uid: r for r in srv.run(reqs)}
+    # Random weights never emit EOS naturally, so each hypothesis runs to
+    # its forced-EOS budget: len(tokens) == a·src_frames − 1 (EOS stripped).
+    assert len(results[0].tokens) == 8 - 1, results[0].tokens
+    assert len(results[1].tokens) == 12 - 1, results[1].tokens
