@@ -306,7 +306,12 @@ def main():
         float(run_n(*args, n=N1, beam=beam))
         _log(f"compiled beam={beam or BEAM}")
 
-    beams = [None] if os.environ.get("MM_BENCH_SKIP_EXTRAS") else [None, 5]
+    # beam=None is a distinct static-arg value from beam=BEAM even when
+    # they trace identically; with MM_BENCH_BEAM=5 the old [None, 5] list
+    # compiled the same beam-5 pipeline twice (minutes each, cold cache).
+    beams = [None]
+    if not os.environ.get("MM_BENCH_SKIP_EXTRAS") and BEAM != 5:
+        beams.append(5)
     import concurrent.futures as _fut
     with _fut.ThreadPoolExecutor(len(beams)) as pool:
         # XLA compilation releases the GIL; compile the operating points
@@ -356,8 +361,10 @@ def main():
 
     if not os.environ.get("MM_BENCH_SKIP_EXTRAS"):
         # Secondary operating point: beam 5 (round-1/2 comparison series).
-        m5, _, _ = marginal_sec(beam=5)
-        extra["beam5_utt_per_sec"] = round(B / m5, 3)
+        # Skipped when the headline already measures beam 5.
+        if BEAM != 5:
+            m5, _, _ = marginal_sec(beam=5)
+            extra["beam5_utt_per_sec"] = round(B / m5, 3)
         # Train step at the training shape (driver-captured, VERDICT r2 #7).
         t_ms = train_step_ms(model, cfg, B=8)
         extra["train_step_ms"] = round(t_ms, 3)

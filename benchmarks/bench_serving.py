@@ -108,19 +108,23 @@ def main():
         kv_cache_dtype=KV, admit_width=ADMIT,
     )
 
-    def run_serving(n, seed):
-        reqs = make_requests(n, seed)
+    # Two-point marginal with the SMALL workload an exact prefix of the
+    # big one (same seed): different draws would leave a constant
+    # length-distribution bias in the subtraction.
+    big_reqs = make_requests(3 * N_REQ, 2)
+
+    def run_serving(reqs):
         t0 = time.perf_counter()
-        results = srv.run(reqs)
+        results = srv.run(list(reqs))
         dt = time.perf_counter() - t0
-        assert len(results) == n
+        assert len(results) == len(reqs)
         return dt
 
     log(f"serving warm (slots={SLOTS} beam={BEAM} kv={KV})")
-    run_serving(SLOTS, 1)  # compile encode/admit/chunk
+    run_serving(big_reqs[:SLOTS])  # compile encode/admit/chunk
     log("serving timed runs")
-    t_small = min(run_serving(N_REQ, 2) for _ in range(2))
-    t_big = min(run_serving(3 * N_REQ, 3) for _ in range(2))
+    t_small = min(run_serving(big_reqs[:N_REQ]) for _ in range(2))
+    t_big = min(run_serving(big_reqs) for _ in range(2))
     serving_utt = (3 * N_REQ - N_REQ) / max(t_big - t_small, 1e-9)
 
     # ---- static offline ----------------------------------------------------
@@ -148,8 +152,8 @@ def main():
     top = int(np.ceil(BUDGET_A * ENC_FRAMES))
     BUCKETS = (top,) if top < 64 else (64, 128, top)
 
-    def run_static(n, seed, sort):
-        reqs = make_requests(n, seed)
+    def run_static(reqs, sort):
+        reqs = list(reqs)
         if sort:
             reqs.sort(key=lambda r: r.length)
         t0 = time.perf_counter()
@@ -172,13 +176,13 @@ def main():
 
     for sort, name in ((False, "static_arrival"), (True, "static_sorted")):
         log(f"{name} warm")
-        run_static(SLOTS, 1, sort)  # compile buckets seen
+        run_static(big_reqs[:SLOTS], sort)  # compile buckets seen
         # pre-compile all buckets so timing isn't polluted
         for budget in BUCKETS:
             offline_batch(params, feats0, lens0, budget).block_until_ready()
         log(f"{name} timed runs")
-        ts = min(run_static(N_REQ, 2, sort) for _ in range(2))
-        tb = min(run_static(3 * N_REQ, 3, sort) for _ in range(2))
+        ts = min(run_static(big_reqs[:N_REQ], sort) for _ in range(2))
+        tb = min(run_static(big_reqs, sort) for _ in range(2))
         utt = (3 * N_REQ - N_REQ) / max(tb - ts, 1e-9)
         print(json.dumps({
             "metric": f"{name}_utt_per_sec",

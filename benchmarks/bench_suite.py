@@ -14,10 +14,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 from functools import partial
 
 import numpy as np
+
+# Runnable as `python benchmarks/bench_suite.py` (the repo root is not an
+# installed package): make repo-root imports (mm_s2ut, bench,
+# __graft_entry__) resolve.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _two_point(run_n, n1, n2):
@@ -201,24 +208,12 @@ def bench_train_step():
     run = lambda n: run_n(state, n)
     per = _two_point(run, 1, 5)
     frames = B * T
-    # FLOP model: fwd = encoder+fusion (shared with bench.pipeline_flops
-    # minus decode/vocoder) + teacher-forced decoder; train ≈ 3× fwd
-    # (fwd + 2× bwd).
+    # One FLOP model for the whole repo: bench.train_flops (the previous
+    # ad-hoc sum here double-counted the cross K/V projections and priced
+    # causal self-attention at full cost, overstating MFU).
     import bench as root_bench
 
-    enc_flops = root_bench.pipeline_flops(
-        B, T, 1, 0, cfg, __import__("mm_s2ut.models.hifigan", fromlist=["HiFiGANConfig"]).HiFiGANConfig()
-    )
-    D = cfg.decoder_embed_dim
-    T4 = T // 4
-    dec = 0.0
-    for _ in range(cfg.decoder_layers):
-        dec += 2 * B * Tt * D * D * 8
-        dec += 2 * 2 * B * Tt * Tt * D        # causal self-attn
-        dec += 2 * 2 * B * Tt * T4 * D        # cross-attn
-        dec += 2 * 2 * B * Tt * D * cfg.decoder_ffn_embed_dim
-    dec += 2 * B * Tt * D * cfg.vocab_size
-    train_flops = 3 * (enc_flops + dec)
+    train_flops = root_bench.train_flops(B, T, Tt, cfg)
     print(json.dumps({
         "metric": "train_step_seconds",
         "value": round(per, 4), "unit": "s/step",

@@ -8,7 +8,9 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -24,29 +26,44 @@ _build_failed = False
 
 def _build() -> bool:
     try:
+        # Compile to a temp name then os.rename (atomic on POSIX): two
+        # processes racing the first-use build must never dlopen a
+        # half-written .so. -march=native is safe: the .so is built on
+        # first use on the host that runs it, never shipped.
+        tmp = _LIB.with_suffix(f".tmp{os.getpid()}.so")
         subprocess.run(
-            # -march=native is safe: the .so is built on first use on the
-            # host that runs it (and rebuilt if deleted), never shipped.
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-std=c++17", "-pthread", str(_SRC), "-o", str(_LIB)],
+             "-std=c++17", "-pthread", str(_SRC), "-o", str(tmp)],
             check=True, capture_output=True, timeout=120,
         )
+        os.rename(tmp, _LIB)
         return True
     except Exception as e:  # no compiler / failure → fallback path
         logger.warning("native audio loader build failed: %s", e)
         return False
 
 
+_lock = threading.Lock()
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None:
         return _lib
-    if _build_failed:
-        return None
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        if not _build():
-            _build_failed = True
+    with _lock:  # two threads must not race the build/bind
+        if _lib is not None:
+            return _lib
+        if _build_failed:
             return None
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        return _bind()
+
+
+def _bind() -> ctypes.CDLL:
+    global _lib
     lib = ctypes.CDLL(str(_LIB))
     lib.mm_decode_wav.restype = ctypes.c_int
     lib.mm_decode_wav.argtypes = [

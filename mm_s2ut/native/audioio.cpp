@@ -73,7 +73,21 @@ WavResult decode_wav(const char* path, float* out, int64_t max_samples) {
       sample_rate = rd_u32(fmt + 4);
       bits = rd_u16(fmt + 14);
       have_fmt = true;
-      if (size > 16) fseek(f, size - 16 + (size & 1), SEEK_CUR);
+      uint32_t fmt_read = 16;
+      if (fmt_code == 0xFFFE && size >= 40) {
+        // WAVE_FORMAT_EXTENSIBLE: the real code is the first two bytes
+        // of the SubFormat GUID (fmt offset 24). Without this, extensible
+        // float32 files would be decoded as int32 PCM garbage.
+        uint8_t ext[10];
+        if (fread(ext, 1, 10, f) != 10) {
+          fclose(f);
+          res.error = kErrFormat;
+          return res;
+        }
+        fmt_read += 10;
+        fmt_code = rd_u16(ext + 8);
+      }
+      if (size > fmt_read) fseek(f, size - fmt_read + (size & 1), SEEK_CUR);
       else if (size & 1) fseek(f, 1, SEEK_CUR);
     } else if (!memcmp(chunk, "data", 4)) {
       if (!have_fmt || channels == 0) {
@@ -81,12 +95,31 @@ WavResult decode_wav(const char* path, float* out, int64_t max_samples) {
         res.error = kErrFormat;
         return res;
       }
+      if (bits != 8 && bits != 16 && bits != 24 && bits != 32) {
+        // Also guards the divide below: bits < 8 would make bytes_per 0.
+        fclose(f);
+        res.error = kErrUnsupported;
+        return res;
+      }
       const int bytes_per = bits / 8;
-      const int64_t n_frames = size / (bytes_per * channels);
+      // Trust the FILE, not the header: clamp the declared chunk size to
+      // the bytes actually present (a lying/corrupt size field would
+      // otherwise throw bad_alloc — std::terminate inside the pool
+      // threads — or silently decode a zero tail as audio).
+      long data_pos = ftell(f);
+      fseek(f, 0, SEEK_END);
+      long file_end = ftell(f);
+      fseek(f, data_pos, SEEK_SET);
+      uint64_t avail = file_end > data_pos ? (uint64_t)(file_end - data_pos) : 0;
+      uint64_t want = size < avail ? size : avail;
+      // Only read what we will decode (bounded by max_samples frames).
+      const uint64_t frame_bytes = (uint64_t)bytes_per * channels;
+      uint64_t cap = (uint64_t)max_samples * frame_bytes;
+      if (want > cap) want = cap;
+      std::vector<uint8_t> raw((size_t)want);
+      size_t got = fread(raw.data(), 1, (size_t)want, f);
+      const int64_t n_frames = (int64_t)(got / frame_bytes);
       const int64_t n_keep = n_frames < max_samples ? n_frames : max_samples;
-      std::vector<uint8_t> raw((size_t)size);
-      size_t got = fread(raw.data(), 1, size, f);
-      (void)got;
       const uint8_t* p = raw.data();
       const float inv_ch = 1.0f / channels;
       if (fmt_code == 1 && bits == 16 && channels == 1) {
