@@ -273,6 +273,12 @@ class ModelConfig:
     # P(data, model, None) between layers (needs a jax.set_mesh context;
     # no-op otherwise). Beyond-reference capability (SURVEY §2.3).
     sequence_parallel: bool = False
+    # Streaming-compatible encoder: position-causal self-attention with an
+    # optional bounded left context. Train with these on, then serve
+    # incrementally via infer/streaming.py (states are bit-equal to the
+    # offline forward). Beyond-reference capability (low-latency S2ST).
+    encoder_causal_attention: bool = False
+    encoder_attention_window: int = 0
     # Opt-in pipeline parallelism: >1 runs the encoder transformer stack
     # as a GPipe over the mesh's `pipe` axis (parallel/pipeline.py).
     # Beyond-reference capability (SURVEY §2.3).

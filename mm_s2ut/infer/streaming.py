@@ -1,0 +1,382 @@
+"""Streaming (chunked) speech encoding for low-latency S2ST.
+
+A capability beyond the reference (which is offline-only —
+fairseq-generate over full utterances, scripts/textless/2_inference.sh):
+feed 16 kHz fbank features chunk by chunk and receive encoder states
+incrementally, EXACTLY equal to a one-shot forward of
+``SpeechTransformerEncoder(causal_attention=True, attention_window=W)``
+over the full utterance with the same parameters (tested).
+
+TPU-native design:
+
+  * the offline encoder grows a *position-causal* attention option
+    (models/s2t_encoder.py ``causal_attention`` / ``attention_window``) —
+    the mask a streamed computation can realize; train with it, stream at
+    serve time;
+  * per-layer K/V caches with one aligned dynamic_update_slice per feed
+    (the same incremental-attention machinery the decoder uses), block
+    bias ``j ≤ pos_q`` (+ left window) built per feed;
+  * the conv subsampler is recomputed over a fixed-size feature ring
+    buffer each feed (one compiled shape) and only *mature* output frames
+    — whose full receptive field [4u−6, 4u+6] has arrived — are emitted;
+    immature tail frames wait for the next chunk, so streamed subsampler
+    outputs are bit-equal to offline;
+  * fixed chunk size per feed ⇒ a handful of compiled programs total
+    (first feed, steady-state feed, finalize tail).
+
+The module re-declares the offline encoder's exact submodule names
+(``subsampler``, ``pos``, ``layer{i}/self_attn|ffn|*_layer_norm``,
+``final_layer_norm``), so a ``SpeechTransformerEncoder`` parameter tree
+applies verbatim — one checkpoint serves both offline and streaming.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mm_s2ut.models.layers import (
+    Conv1dSubsampler,
+    FeedForward,
+    MultiHeadAttention,
+    SinusoidalPositionalEmbedding,
+    subsampled_length,
+)
+
+Dtype = Any
+
+
+def mature_subsampled(n_input_frames: int) -> int:
+    """Subsampled frames whose receptive field [4u−6, 4u+6] is complete
+    given ``n_input_frames`` received input frames (kernel 5 / stride 2,
+    twice, symmetric pad 2)."""
+    return max(0, (n_input_frames - 7) // 4 + 1)
+
+
+class _StreamingLayer(nn.Module):
+    """One encoder layer over a K/V cache (pre-norm residual wiring and
+    submodule names identical to models.layers.TransformerEncoderLayer)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    activation: str = "relu"
+    normalize_before: bool = True
+    attention_window: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cache: Dict[str, jnp.ndarray]):
+        ln1 = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")
+        ln2 = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")
+        attn = MultiHeadAttention(
+            self.embed_dim, self.num_heads, 0.0, dtype=self.dtype,
+            name="self_attn",
+        )
+        ffn = FeedForward(
+            self.ffn_dim, self.embed_dim, self.activation,
+            0.0, 0.0, dtype=self.dtype, name="ffn",
+        )
+        # Block bias: query at global position p = index + i attends to
+        # cache column j ≤ p (and j > p − W with a window). The unwritten
+        # cache tail is masked by the same inequality.
+        idx = cache["index"]
+        Tn, Tt = x.shape[1], cache["k"].shape[1]
+        pos_q = idx + jnp.arange(Tn)[:, None]
+        j = jnp.arange(Tt)[None, :]
+        allowed = j <= pos_q
+        if self.attention_window > 0:
+            allowed = jnp.logical_and(allowed, j > pos_q - self.attention_window)
+        bias = jnp.where(allowed, 0.0, -1e9).astype(self.dtype)[None, None]
+
+        residual = x
+        h = ln1(x) if self.normalize_before else x
+        h, new_cache, _ = attn(h, cache=cache, bias=bias, deterministic=True)
+        x = residual + h
+        if not self.normalize_before:
+            x = ln1(x)
+        residual = x
+        h = ln2(x) if self.normalize_before else x
+        h = ffn(h, deterministic=True)
+        x = residual + h
+        if not self.normalize_before:
+            x = ln2(x)
+        return x, new_cache
+
+
+class StreamingEncoderStack(nn.Module):
+    """One feed: fixed-size feature buffer → subsampler → new mature rows
+    → incremental layers → final LN. Parameter tree ==
+    SpeechTransformerEncoder's."""
+
+    embed_dim: int = 512
+    ffn_dim: int = 2048
+    num_layers: int = 12
+    num_heads: int = 8
+    conv_channels: int = 1024
+    conv_kernel_sizes: Tuple[int, ...] = (5, 5)
+    activation: str = "relu"
+    normalize_before: bool = True
+    max_positions: int = 6000
+    attention_window: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feat_buf: jnp.ndarray,   # (B, max_T, F) accumulated features
+        buf_len: jnp.ndarray,    # (B,) valid frames in the buffer
+        emitted: jnp.ndarray,    # scalar: subsampled rows already emitted
+        n_new: int,              # STATIC: mature new rows this feed
+        caches: List[Dict[str, jnp.ndarray]],
+    ):
+        x_all, _ = Conv1dSubsampler(
+            mid_channels=self.conv_channels,
+            out_dim=self.embed_dim,
+            kernel_sizes=self.conv_kernel_sizes,
+            dtype=self.dtype,
+            name="subsampler",
+        )(feat_buf.astype(self.dtype), buf_len)
+        x = jax.lax.dynamic_slice_in_dim(x_all, emitted, n_new, axis=1)
+        x = x * math.sqrt(self.embed_dim)
+        x = SinusoidalPositionalEmbedding(
+            self.embed_dim, self.max_positions, dtype=self.dtype, name="pos"
+        )(x, offset=emitted)
+
+        new_caches = []
+        for i in range(self.num_layers):
+            x, c = _StreamingLayer(
+                self.embed_dim, self.ffn_dim, self.num_heads,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_window=self.attention_window,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(x, caches[i])
+            new_caches.append(c)
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        return x, new_caches
+
+
+class StreamingEncoderSession:
+    """Host-side driver: accumulate feature chunks, emit encoder states.
+
+    ``feed(chunk)`` takes (B, chunk_frames, F) with every row fully valid
+    (live synchronized streams); ``finalize()`` flushes the immature tail
+    and returns the assembled (B, T_sub, D) encoder output + lengths.
+    Chunk size is fixed per session so the jitted feed compiles a handful
+    of shapes (first feed / steady state / finalize tail).
+    """
+
+    def __init__(
+        self,
+        params,
+        *,
+        batch: int,
+        chunk_frames: int,
+        max_frames: int,
+        feat_dim: int = 80,
+        embed_dim: int = 512,
+        ffn_dim: int = 2048,
+        num_layers: int = 12,
+        num_heads: int = 8,
+        conv_channels: int = 1024,
+        attention_window: int = 0,
+        dtype: Dtype = jnp.float32,
+    ):
+        if chunk_frames % 4:
+            raise ValueError("chunk_frames must be a multiple of 4")
+        self.params = params
+        self.B, self.F = batch, feat_dim
+        self.chunk = chunk_frames
+        self.max_frames = max_frames
+        self.sub_max = subsampled_length(max_frames)
+        self.stack = StreamingEncoderStack(
+            embed_dim=embed_dim, ffn_dim=ffn_dim, num_layers=num_layers,
+            num_heads=num_heads, conv_channels=conv_channels,
+            attention_window=attention_window, dtype=dtype,
+        )
+        H, Dh = num_heads, embed_dim // num_heads
+        self.caches = [
+            {
+                "k": jnp.zeros((batch, self.sub_max, H, Dh), dtype),
+                "v": jnp.zeros((batch, self.sub_max, H, Dh), dtype),
+                "index": jnp.zeros((), jnp.int32),
+            }
+            for _ in range(num_layers)
+        ]
+        self.feat_buf = np.zeros((batch, max_frames, feat_dim), np.float32)
+        self.n_frames = 0
+        self.emitted = 0
+        self.outputs: List[np.ndarray] = []
+        self._feed = jax.jit(
+            lambda p, buf, bl, em, caches, n_new: self.stack.apply(
+                p, buf, bl, em, n_new, caches
+            ),
+            static_argnames=("n_new",),
+        )
+
+    def _emit(self, n_new: int):
+        if n_new <= 0:
+            return np.zeros((self.B, 0, 0), np.float32)
+        out, self.caches = self._feed(
+            self.params, jnp.asarray(self.feat_buf),
+            jnp.full((self.B,), self.n_frames, jnp.int32),
+            jnp.asarray(self.emitted, jnp.int32), self.caches, n_new,
+        )
+        self.emitted += n_new
+        out = np.asarray(out)
+        self.outputs.append(out)
+        return out
+
+    def feed(self, chunk: np.ndarray) -> np.ndarray:
+        """Add (B, chunk_frames, F); returns the new mature encoder rows
+        (B, n_new, D) — exactly the offline causal encoder's rows
+        [emitted : emitted + n_new]."""
+        if chunk.shape != (self.B, self.chunk, self.F):
+            raise ValueError(f"expected {(self.B, self.chunk, self.F)}, got {chunk.shape}")
+        if self.n_frames + self.chunk > self.max_frames:
+            raise ValueError("stream exceeds max_frames")
+        self.feat_buf[:, self.n_frames : self.n_frames + self.chunk] = chunk
+        self.n_frames += self.chunk
+        n_new = mature_subsampled(self.n_frames) - self.emitted
+        return self._emit(n_new)
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Flush the immature tail; returns (encoder_out (B, T_sub, D),
+        lengths (B,))."""
+        total = subsampled_length(self.n_frames)
+        self._emit(total - self.emitted)
+        out = (
+            np.concatenate(self.outputs, axis=1)
+            if self.outputs else np.zeros((self.B, 0, 0), np.float32)
+        )
+        lengths = np.full((self.B,), total, np.int32)
+        return out, lengths
+
+
+class StreamingS2ST:
+    """Incremental S2ST by re-translation: feed fbank chunks, receive
+    COMMITTED unit prefix increments.
+
+    Policy: after each chunk, beam-decode over the encoder prefix (padded
+    to a fixed shape, so the whole search compiles once) and commit the
+    longest common prefix of consecutive hypotheses — the standard
+    re-translation baseline for simultaneous translation. finalize()
+    returns the full final hypothesis (identical to offline decoding of
+    the same model on the fed frames).
+
+    Requires a causal-encoder flagship config
+    (``encoder_causal_attention: true``) and, in v1, no in-encoder image
+    fusion (the image stream is per-utterance; fuse offline or extend the
+    session with a fused step).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        chunk_frames: int,
+        max_frames: int,
+        beam: int = 5,
+        max_len: int = 200,
+        eos_id: int = 2,
+        bos_id: int = 2,
+        pad_id: int = 1,
+    ):
+        from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
+
+        cfg = model.cfg
+        if not cfg.encoder_causal_attention:
+            raise ValueError(
+                "StreamingS2ST needs encoder_causal_attention=True "
+                "(offline-masked encoders can't be computed incrementally)"
+            )
+        if cfg.multimodal.multimodal_attention_type:
+            raise ValueError(
+                "StreamingS2ST v1 supports the speech-only flagship branch"
+            )
+        self.model, self.params = model, params
+        self.beam, self.max_len = beam, max_len
+        enc_params = {"params": params["params"]["encoder"]}
+        self.enc = StreamingEncoderSession(
+            enc_params, batch=1, chunk_frames=chunk_frames,
+            max_frames=max_frames,
+            embed_dim=cfg.encoder_embed_dim,
+            ffn_dim=cfg.encoder_ffn_embed_dim,
+            num_layers=cfg.encoder_layers,
+            num_heads=cfg.encoder_attention_heads,
+            conv_channels=cfg.conv_channels,
+            attention_window=cfg.encoder_attention_window,
+            dtype=jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16,
+        )
+        self.sub_max = self.enc.sub_max
+        self.committed: List[int] = []
+        self._prev_hyp: List[int] = []
+
+        def search(params, enc_out, enc_mask):
+            enc = {
+                "encoder_out": enc_out,
+                "encoder_padding_mask": enc_mask,
+                "encoder_states": [],
+            }
+            state = model.apply(params, enc, max_len + 1, method=model.decode_init)
+            state = tile_state_for_beams(state, beam)
+            return beam_search(
+                lambda t, s: model.apply(params, t, s, method=model.decode_step),
+                state, 1, beam_size=beam, max_len=max_len,
+                eos_id=eos_id, bos_id=bos_id, pad_id=pad_id,
+                vocab_size=cfg.vocab_size,
+            )
+
+        self._search = jax.jit(search)
+        self.eos, self.pad = eos_id, pad_id
+
+    def _decode_prefix(self) -> List[int]:
+        n = self.enc.emitted
+        if n == 0:
+            return []
+        out = (
+            np.concatenate(self.enc.outputs, axis=1)
+            if self.enc.outputs else np.zeros((1, 0, 0), np.float32)
+        )
+        enc_out = np.zeros((1, self.sub_max, out.shape[-1]), np.float32)
+        enc_out[:, :n] = out
+        enc_mask = np.arange(self.sub_max)[None, :] >= n
+        seqs, _ = self._search(
+            self.params, jnp.asarray(enc_out), jnp.asarray(enc_mask)
+        )
+        toks = [int(t) for t in np.asarray(seqs)[0, 0]]
+        if self.eos in toks:
+            toks = toks[: toks.index(self.eos)]
+        return [t for t in toks if t != self.pad]
+
+    def feed(self, chunk: np.ndarray) -> List[int]:
+        """(1, chunk_frames, 80) → newly COMMITTED units (may be empty)."""
+        self.enc.feed(chunk)
+        hyp = self._decode_prefix()
+        # Commit the agreement prefix of consecutive re-translations.
+        common = 0
+        for a, b in zip(self._prev_hyp, hyp):
+            if a != b:
+                break
+            common += 1
+        stable = hyp[:common]
+        new = stable[len(self.committed):] if len(stable) > len(self.committed) else []
+        self.committed += new
+        self._prev_hyp = hyp
+        return new
+
+    def finalize(self) -> List[int]:
+        """Flush the encoder tail; returns the FULL final hypothesis
+        (equals offline decoding of the fed frames)."""
+        self.enc.finalize()
+        hyp = self._decode_prefix()
+        self.committed = hyp
+        return hyp

@@ -125,6 +125,8 @@ class MMS2UTModel(nn.Module):
             sequence_parallel=cfg.sequence_parallel,
             pipeline_stages=cfg.pipeline_stages,
             pipeline_microbatches=cfg.pipeline_microbatches,
+            causal_attention=cfg.encoder_causal_attention,
+            attention_window=cfg.encoder_attention_window,
             dtype=dtype,
         )
         if cfg.speaker_embed_dim:

@@ -50,6 +50,11 @@ class SpeechTransformerEncoder(nn.Module):
     # the mesh's `pipe` axis (parallel/pipeline.py); needs an active mesh
     # with that many pipe devices
     pipeline_microbatches: int = 0  # 0 ⇒ defaults to pipeline_stages
+    causal_attention: bool = False  # position-causal self-attention
+    # (streaming-compatible: infer/streaming.py computes the identical
+    # states incrementally); optional bounded left context below.
+    attention_window: int = 0  # with causal_attention: attend only to the
+    # last `attention_window` positions (0 = unbounded left context)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -76,6 +81,20 @@ class SpeechTransformerEncoder(nn.Module):
 
         padding_mask = lengths_to_padding_mask(lengths, x.shape[1])
         bias = make_padding_bias(padding_mask, self.dtype)
+        key_padding_mask = padding_mask
+        if self.causal_attention:
+            # Streaming-compatible mask: position i attends to j ≤ i (and
+            # j > i − W when attention_window is set). Folded into the
+            # additive bias; the flash path (padding-mask-only) stays off.
+            S = x.shape[1]
+            i = jnp.arange(S)[:, None]
+            j = jnp.arange(S)[None, :]
+            allowed = j <= i
+            if self.attention_window > 0:
+                allowed = jnp.logical_and(allowed, j > i - self.attention_window)
+            causal = jnp.where(allowed, 0.0, -1e9).astype(self.dtype)
+            bias = bias + causal[None, None, :, :]
+            key_padding_mask = None
         # Zero out padded positions so they can't leak through convs/LN.
         x = x * (~padding_mask)[..., None].astype(x.dtype)
 
@@ -106,7 +125,7 @@ class SpeechTransformerEncoder(nn.Module):
                 n_micro=self.pipeline_microbatches,
                 remat=self.remat,
                 name="pipe_stack",
-            )(x, bias, deterministic, padding_mask)
+            )(x, bias, deterministic, key_padding_mask)
             if self.normalize_before:
                 x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
             return {
@@ -132,7 +151,7 @@ class SpeechTransformerEncoder(nn.Module):
                 use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"layer{i}",
-            )(x, bias, deterministic, padding_mask)
+            )(x, bias, deterministic, key_padding_mask)
             if self.sequence_parallel:
                 from mm_s2ut.parallel import DATA_AXIS, MODEL_AXIS, maybe_shard
 
