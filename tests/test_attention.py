@@ -85,16 +85,3 @@ def test_encoder_flash_flag_matches_reference():
         np.asarray(out_a["encoder_out"]), np.asarray(out_b["encoder_out"]),
         atol=1e-5, rtol=1e-5,
     )
-
-
-def test_beam_reorder_kernel_interpret():
-    from mm_s2ut.ops.beam_reorder import reorder_rows
-
-    x = jnp.asarray(np.random.RandomState(0).randn(6, 4, 128).astype(np.float32))
-    idx = jnp.asarray([2, 2, 0, 5, 1, 3])
-    out = reorder_rows(x, idx, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x)[np.asarray(idx)])
-    # Odd trailing sizes (not 128-divisible) are rejected by `supported`.
-    from mm_s2ut.ops.beam_reorder import supported
-
-    assert not supported(jnp.zeros((4, 3, 5)))
