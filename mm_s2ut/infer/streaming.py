@@ -166,11 +166,13 @@ class StreamingEncoderStack(nn.Module):
 class StreamingEncoderSession:
     """Host-side driver: accumulate feature chunks, emit encoder states.
 
-    ``feed(chunk)`` takes (B, chunk_frames, F) with every row fully valid
-    (live synchronized streams); ``finalize()`` flushes the immature tail
-    and returns the assembled (B, T_sub, D) encoder output + lengths.
-    Chunk size is fixed per session so the jitted feed compiles a handful
-    of shapes (first feed / steady state / finalize tail).
+    ``feed(chunk)`` takes (B, T ≤ chunk_frames, F) with every row fully
+    valid (live synchronized streams); the last feed of a stream may be
+    shorter than ``chunk_frames``. ``finalize()`` flushes the immature
+    tail and returns the assembled (B, T_sub, D) encoder output +
+    lengths. Keeping feeds at a steady size means the jitted feed
+    compiles a handful of shapes (first feed / steady state / tail) —
+    the emitted-row count ``n_new`` is the only static dimension.
     """
 
     def __init__(
@@ -189,8 +191,6 @@ class StreamingEncoderSession:
         attention_window: int = 0,
         dtype: Dtype = jnp.float32,
     ):
-        if chunk_frames % 4:
-            raise ValueError("chunk_frames must be a multiple of 4")
         self.params = params
         self.B, self.F = batch, feat_dim
         self.chunk = chunk_frames
@@ -235,15 +235,25 @@ class StreamingEncoderSession:
         return out
 
     def feed(self, chunk: np.ndarray) -> np.ndarray:
-        """Add (B, chunk_frames, F); returns the new mature encoder rows
-        (B, n_new, D) — exactly the offline causal encoder's rows
-        [emitted : emitted + n_new]."""
-        if chunk.shape != (self.B, self.chunk, self.F):
-            raise ValueError(f"expected {(self.B, self.chunk, self.F)}, got {chunk.shape}")
-        if self.n_frames + self.chunk > self.max_frames:
+        """Add (B, T ≤ chunk_frames, F); returns the new mature encoder
+        rows (B, n_new, D) — exactly the offline causal encoder's rows
+        [emitted : emitted + n_new]. The last feed of a stream may be
+        shorter than ``chunk_frames``."""
+        if (
+            chunk.ndim != 3
+            or chunk.shape[0] != self.B
+            or chunk.shape[2] != self.F
+            or not 0 < chunk.shape[1] <= self.chunk
+        ):
+            raise ValueError(
+                f"expected (B={self.B}, 0<T<={self.chunk}, F={self.F}), "
+                f"got {chunk.shape}"
+            )
+        t = chunk.shape[1]
+        if self.n_frames + t > self.max_frames:
             raise ValueError("stream exceeds max_frames")
-        self.feat_buf[:, self.n_frames : self.n_frames + self.chunk] = chunk
-        self.n_frames += self.chunk
+        self.feat_buf[:, self.n_frames : self.n_frames + t] = chunk
+        self.n_frames += t
         n_new = mature_subsampled(self.n_frames) - self.emitted
         return self._emit(n_new)
 
@@ -358,7 +368,8 @@ class StreamingS2ST:
         return [t for t in toks if t != self.pad]
 
     def feed(self, chunk: np.ndarray) -> List[int]:
-        """(1, chunk_frames, 80) → newly COMMITTED units (may be empty)."""
+        """(1, T ≤ chunk_frames, 80) → newly COMMITTED units (may be
+        empty). The last feed of a stream may be short."""
         self.enc.feed(chunk)
         hyp = self._decode_prefix()
         # Commit the agreement prefix of consecutive re-translations.
