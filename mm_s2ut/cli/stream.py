@@ -115,6 +115,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         beam=g.beam, max_len=max_len,
     )
 
+    voc = None
+    voc_samples: List[np.ndarray] = []
+    if args.vocoder_path:
+        from mm_s2ut.infer.streaming_vocoder import StreamingVocoderSession
+        from mm_s2ut.models.hifigan import HiFiGANConfig, load_fairseq_checkpoint
+
+        vcfg = (
+            HiFiGANConfig.from_json(args.vocoder_cfg)
+            if args.vocoder_cfg else HiFiGANConfig()
+        )
+        voc_vars = load_fairseq_checkpoint(args.vocoder_path, vcfg)
+        voc = StreamingVocoderSession(
+            vcfg, voc_vars, max_units=max(max_len + 2, 64)
+        )
+
     tgt_dict = UnitDictionary(cfg.data.target_code_size)
     emitted_f = 0
     commit_audio_s: List[float] = []  # audio position when each unit committed
@@ -144,6 +159,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             units = tgt_dict.ids_to_units(np.asarray(new_units, np.int64))
             print(f"[{audio_s:6.2f}s audio] committed: "
                   + " ".join(str(u) for u in units), flush=True)
+            if voc is not None:
+                voc_samples.append(voc.feed([int(u) for u in units]))
 
     final_ids = srv.finalize()
     audio_s = len(wav) / sr
@@ -168,25 +185,41 @@ def main(argv: Optional[List[str]] = None) -> int:
         wall, " (simulation: offline features)" if simulate else "",
     )
 
-    if args.vocoder_path:
-        from mm_s2ut.models.hifigan import (
-            CodeHiFiGAN, HiFiGANConfig, load_fairseq_checkpoint,
-        )
+    if voc is not None:
+        from mm_s2ut.infer.streaming_vocoder import StreamingVocoderSession
 
-        vcfg = (
-            HiFiGANConfig.from_json(args.vocoder_cfg)
-            if args.vocoder_cfg else HiFiGANConfig()
-        )
-        variables = load_fairseq_checkpoint(args.vocoder_path, vcfg)
-        if len(units) == 0:
-            write_wav(out_dir / f"{stem}_pred.wav", np.zeros(1600, np.float32), 16000)
+        n_streamed_samples = int(sum(s.size for s in voc_samples))
+        final_units = [int(u) for u in units]
+        if final_units[: len(voc.units)] == voc.units:
+            tail = final_units[len(voc.units):]
+            if tail:
+                voc_samples.append(voc.feed(tail))
+            voc_samples.append(voc.finalize())
         else:
-            voc = CodeHiFiGAN(vcfg, max_frames=4 * len(units) + 8)
-            u = np.asarray(units, np.int32)
-            w, n = voc.apply(variables, u[None], jnp.asarray([len(u)]))
-            n = int(np.asarray(n)[0])
-            write_wav(out_dir / f"{stem}_pred.wav", np.asarray(w)[0, :n], 16000)
-        logger.info("vocoded %s_pred.wav", stem)
+            # Re-translation committed a prefix the final hypothesis
+            # abandoned — regenerate the whole wav so the file matches
+            # the emitted units exactly.
+            logger.warning(
+                "final hypothesis diverged from the committed prefix — "
+                "re-vocoding offline"
+            )
+            n_streamed_samples = 0
+            voc = StreamingVocoderSession(
+                vcfg, voc_vars, max_units=max(max_len + 2, 64)
+            )
+            voc_samples = [voc.feed(final_units), voc.finalize()]
+        wav_out = (
+            np.concatenate(voc_samples)
+            if voc_samples else np.zeros((0,), np.float32)
+        )
+        if wav_out.size == 0:
+            wav_out = np.zeros(1600, np.float32)  # empty hyp → short silence
+        write_wav(out_dir / f"{stem}_pred.wav", wav_out, 16000)
+        logger.info(
+            "vocoded %s_pred.wav: %d samples, %d (%.0f%%) emitted before "
+            "finalize", stem, wav_out.size, n_streamed_samples,
+            100.0 * n_streamed_samples / max(1, wav_out.size),
+        )
     return 0
 
 

@@ -312,9 +312,24 @@ class DurationPredictor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        valid: Optional[jnp.ndarray] = None,  # (B, L) bool
+    ) -> jnp.ndarray:
         pad = (self.kernel_size - 1) // 2
         for i in range(2):
+            if valid is not None:
+                # Zero padded positions before every conv so a padded
+                # batch computes exactly what per-utterance exact-length
+                # inputs would (the convs' own edge padding is zeros; a
+                # padded buffer's tail otherwise carries pad-unit
+                # embeddings / previous-layer phantom activations into
+                # the last valid units' receptive fields). fairseq's
+                # VariancePredictor runs per-utterance, so this is the
+                # reference semantics.
+                x = x * valid[..., None].astype(x.dtype)
             x = nn.Conv(
                 self.hidden, (self.kernel_size,), padding=[(pad, pad)],
                 dtype=self.dtype, name=f"conv{i + 1}",
@@ -387,13 +402,36 @@ class CodeHiFiGAN(nn.Module):
         valid = jnp.arange(L)[None, :] < unit_lengths[:, None]
         if c.dur_prediction and dur_prediction:
             emb = self.dict_embed(units)
-            log_dur = self.dur_predictor(emb)
+            log_dur = self.dur_predictor(emb, valid=valid)
             dur = jnp.clip(
                 jnp.round(jnp.exp(log_dur) - 1.0), 1.0, None
             ).astype(jnp.int32)
         else:
             dur = jnp.ones((B, L), jnp.int32)
         return dur * valid.astype(jnp.int32)
+
+    def vocode_frames(
+        self,
+        frame_units: jnp.ndarray,  # (B, T) unit id OF EACH FRAME
+        speaker: Optional[jnp.ndarray] = None,  # (B,) speaker ids
+    ) -> jnp.ndarray:
+        """(B, T) length-regulated frame-level unit ids → (B, T·hop) wav.
+
+        The post-length-regulation half of ``__call__``: frame t carries
+        ``embed(frame_units[t])`` (+ optional speaker embedding) into the
+        generator. Used by infer/streaming_vocoder.py, which feeds
+        receptive-field-halo windows of the frame sequence for exact
+        chunked synthesis."""
+        emb = self.dict_embed(frame_units)
+        if self.cfg.num_speakers and speaker is not None:
+            spk = self.spkr_embed(speaker)[:, None, :]
+            emb = jnp.concatenate(
+                [emb, jnp.broadcast_to(
+                    spk, (emb.shape[0], emb.shape[1], spk.shape[-1])
+                )],
+                axis=-1,
+            )
+        return self.generator(emb)
 
     def __call__(
         self,
@@ -416,7 +454,7 @@ class CodeHiFiGAN(nn.Module):
         elif c.dur_prediction and dur_prediction:
             # Input to the predictor is the (deduped) unit sequence — the
             # reference dedups units upstream (--reduce-unit data prep).
-            log_dur = self.dur_predictor(emb)
+            log_dur = self.dur_predictor(emb, valid=valid)
             dur = jnp.clip(jnp.round(jnp.exp(log_dur) - 1.0), 1.0, None).astype(jnp.int32)
         else:
             dur = jnp.ones((B, L), jnp.int32)

@@ -188,15 +188,38 @@ def test_stream_cli_end_to_end(tmp_path):
         trainer.train_batch(batch)
     trainer.save_checkpoint({"loss": 1.0})
 
+    from tests.test_inference_cli import _tiny_vocoder
+
+    voc_ckpt, voc_cfg = _tiny_vocoder(tmp_path)
     out_s = tmp_path / "stream_out"
     rc = stream_main([
         "--model_path", str(root / "ckpt"),
         "--audio_path", str(root / "2.wav"),
         "--output_dir", str(out_s),
         "--chunk-ms", "160",
+        "--vocoder_path", str(voc_ckpt),
+        "--vocoder_cfg", str(voc_cfg),
     ])
     assert rc == 0
     streamed = (out_s / "2.unit").read_text().split()
+
+    # The streamed wav equals an exact-length offline vocode of the same
+    # units (PCM16 write/read quantization bounds the tolerance).
+    from mm_s2ut.data.audio_io import get_waveform as _gw
+    from mm_s2ut.models.hifigan import (
+        CodeHiFiGAN, HiFiGANConfig, load_fairseq_checkpoint,
+    )
+
+    vcfg = HiFiGANConfig.from_json(voc_cfg)
+    voc_vars = load_fairseq_checkpoint(voc_ckpt, vcfg)
+    u = np.asarray([[int(x) for x in streamed]], np.int32)
+    want_wav, n = CodeHiFiGAN(vcfg, max_frames=u.shape[1]).apply(
+        voc_vars, jnp.asarray(u), jnp.asarray([u.shape[1]])
+    )
+    got_wav, _ = _gw(str(out_s / "2_pred.wav"))
+    np.testing.assert_allclose(
+        got_wav, np.asarray(want_wav)[0, : int(np.asarray(n)[0])], atol=2e-4
+    )
 
     out_o = tmp_path / "offline_out"
     rc = infer_main([
