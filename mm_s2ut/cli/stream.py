@@ -61,7 +61,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     from mm_s2ut.data.dictionary import UnitDictionary
     from mm_s2ut.infer.streaming import StreamingS2ST
     from mm_s2ut.inference import load_checkpoint
-    from mm_s2ut.models.layers import subsampled_length
     from mm_s2ut.ops.fbank import FbankConfig
     from mm_s2ut.tasks.s2s_task import waveform_frontend
 
@@ -103,16 +102,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         feats_full = np.asarray(f[0, :total_frames])
 
     g = cfg.generation
-    sub_total = subsampled_length(total_frames)
-    max_len = min(
-        int(g.max_len_a * sub_total + g.max_len_b),
-        cfg.model.max_target_positions - 2,
-    )
+    # Mirror UnitGenerator._max_len exactly (RAW frame count, cap −1) so
+    # the streamed final hypothesis equals `python -m mm_s2ut.inference`
+    # on the same audio.
+    max_len = int(min(
+        g.max_len_a * total_frames + g.max_len_b,
+        cfg.model.max_target_positions - 1,
+    ))
     srv = StreamingS2ST(
         model, params,
         chunk_frames=chunk_samples // shift + 1,
         max_frames=total_frames + 4,
         beam=g.beam, max_len=max_len,
+        len_penalty=g.len_penalty, unk_penalty=g.unk_penalty,
+        kv_cache_dtype=g.kv_cache_dtype,
     )
 
     voc = None

@@ -16,11 +16,13 @@ TPU-native design:
   * per-layer K/V caches with one aligned dynamic_update_slice per feed
     (the same incremental-attention machinery the decoder uses), block
     bias ``j ≤ pos_q`` (+ left window) built per feed;
-  * the conv subsampler is recomputed over a fixed-size feature ring
-    buffer each feed (one compiled shape) and only *mature* output frames
-    — whose full receptive field [4u−6, 4u+6] has arrived — are emitted;
-    immature tail frames wait for the next chunk, so streamed subsampler
-    outputs are bit-equal to offline;
+  * the conv subsampler runs on a fixed-width window of the newest
+    feature frames (chunk + receptive-field halo — the same halo
+    technique infer/streaming_vocoder.py uses), so per-feed cost is
+    O(chunk), not O(stream); only *mature* output rows — whose full
+    receptive field [4u−h, 4u+h] has arrived — are emitted, and rows
+    whose field reaches before the window are discarded, so streamed
+    subsampler outputs are bit-equal to offline;
   * fixed chunk size per feed ⇒ a handful of compiled programs total
     (first feed, steady-state feed, finalize tail).
 
@@ -50,11 +52,24 @@ from mm_s2ut.models.layers import (
 Dtype = Any
 
 
-def mature_subsampled(n_input_frames: int) -> int:
-    """Subsampled frames whose receptive field [4u−6, 4u+6] is complete
-    given ``n_input_frames`` received input frames (kernel 5 / stride 2,
-    twice, symmetric pad 2)."""
-    return max(0, (n_input_frames - 7) // 4 + 1)
+def conv_input_halo(kernel_sizes: Tuple[int, ...] = (5, 5)) -> int:
+    """One-sided receptive field of the stride-2 conv stack in input
+    frames: output row u depends on inputs [S·u − h, S·u + h] with
+    S = 2^n_convs (h = 6 for the default (5, 5) stack)."""
+    h = 0
+    for k in reversed(kernel_sizes):
+        h = 2 * h + k // 2
+    return h
+
+
+def mature_subsampled(
+    n_input_frames: int, kernel_sizes: Tuple[int, ...] = (5, 5)
+) -> int:
+    """Subsampled rows whose receptive field [S·u−h, S·u+h] is complete
+    given ``n_input_frames`` received input frames."""
+    stride = 2 ** len(kernel_sizes)
+    h = conv_input_halo(kernel_sizes)
+    return max(0, (n_input_frames - 1 - h) // stride + 1)
 
 
 class _StreamingLayer(nn.Module):
@@ -109,9 +124,15 @@ class _StreamingLayer(nn.Module):
 
 
 class StreamingEncoderStack(nn.Module):
-    """One feed: fixed-size feature buffer → subsampler → new mature rows
-    → incremental layers → final LN. Parameter tree ==
-    SpeechTransformerEncoder's."""
+    """One feed: a fixed-width window of the newest feature frames →
+    subsampler → new mature rows → incremental layers → final LN.
+    Parameter tree == SpeechTransformerEncoder's.
+
+    The window starts ``conv_input_halo`` input frames before the first
+    new row's receptive field, so the rows sliced out at ``local_start``
+    see only real data (the subsampler's zero edge-padding corrupts only
+    the discarded leading rows) — making per-feed cost O(chunk) instead
+    of O(stream)."""
 
     embed_dim: int = 512
     ffn_dim: int = 2048
@@ -128,9 +149,10 @@ class StreamingEncoderStack(nn.Module):
     @nn.compact
     def __call__(
         self,
-        feat_buf: jnp.ndarray,   # (B, max_T, F) accumulated features
-        buf_len: jnp.ndarray,    # (B,) valid frames in the buffer
+        feat_win: jnp.ndarray,   # (B, W_f, F) newest feature frames
+        win_valid: jnp.ndarray,  # (B,) valid frames in the window
         emitted: jnp.ndarray,    # scalar: subsampled rows already emitted
+        local_start: jnp.ndarray,  # scalar: first new row, window coords
         n_new: int,              # STATIC: mature new rows this feed
         caches: List[Dict[str, jnp.ndarray]],
     ):
@@ -140,8 +162,8 @@ class StreamingEncoderStack(nn.Module):
             kernel_sizes=self.conv_kernel_sizes,
             dtype=self.dtype,
             name="subsampler",
-        )(feat_buf.astype(self.dtype), buf_len)
-        x = jax.lax.dynamic_slice_in_dim(x_all, emitted, n_new, axis=1)
+        )(feat_win.astype(self.dtype), win_valid)
+        x = jax.lax.dynamic_slice_in_dim(x_all, local_start, n_new, axis=1)
         x = x * math.sqrt(self.embed_dim)
         x = SinusoidalPositionalEmbedding(
             self.embed_dim, self.max_positions, dtype=self.dtype, name="pos"
@@ -188,6 +210,10 @@ class StreamingEncoderSession:
         num_layers: int = 12,
         num_heads: int = 8,
         conv_channels: int = 1024,
+        conv_kernel_sizes: Tuple[int, ...] = (5, 5),
+        activation: str = "relu",
+        normalize_before: bool = True,
+        max_positions: int = 6000,
         attention_window: int = 0,
         dtype: Dtype = jnp.float32,
     ):
@@ -195,10 +221,19 @@ class StreamingEncoderSession:
         self.B, self.F = batch, feat_dim
         self.chunk = chunk_frames
         self.max_frames = max_frames
-        self.sub_max = subsampled_length(max_frames)
+        self.kernels = tuple(conv_kernel_sizes)
+        self.stride = 2 ** len(self.kernels)
+        self.halo = conv_input_halo(self.kernels)
+        self.hrows = -(-self.halo // self.stride)  # discarded left rows
+        self.sub_max = subsampled_length(max_frames, len(self.kernels))
+        # Feature window: the incoming chunk + the left receptive-field
+        # halo (stride·hrows) + the immature carry-over (< halo + stride).
+        self.win = chunk_frames + self.halo + self.stride * (self.hrows + 1)
         self.stack = StreamingEncoderStack(
             embed_dim=embed_dim, ffn_dim=ffn_dim, num_layers=num_layers,
             num_heads=num_heads, conv_channels=conv_channels,
+            conv_kernel_sizes=self.kernels, activation=activation,
+            normalize_before=normalize_before, max_positions=max_positions,
             attention_window=attention_window, dtype=dtype,
         )
         H, Dh = num_heads, embed_dim // num_heads
@@ -215,8 +250,8 @@ class StreamingEncoderSession:
         self.emitted = 0
         self.outputs: List[np.ndarray] = []
         self._feed = jax.jit(
-            lambda p, buf, bl, em, caches, n_new: self.stack.apply(
-                p, buf, bl, em, n_new, caches
+            lambda p, win, wv, em, ls, caches, n_new: self.stack.apply(
+                p, win, wv, em, ls, n_new, caches
             ),
             static_argnames=("n_new",),
         )
@@ -224,10 +259,23 @@ class StreamingEncoderSession:
     def _emit(self, n_new: int):
         if n_new <= 0:
             return np.zeros((self.B, 0, 0), np.float32)
+        # Window = frames [s, n_frames): starts a full conv halo before
+        # the first new row's receptive field (or at the true stream
+        # start), so every sliced row sees only real data.
+        s = self.stride * max(0, self.emitted - self.hrows)
+        seg = self.feat_buf[:, s : self.n_frames]
+        if seg.shape[1] > self.win:  # pragma: no cover - sizing invariant
+            raise AssertionError(
+                f"window overflow: {seg.shape[1]} > {self.win}"
+            )
+        win = np.zeros((self.B, self.win, self.F), np.float32)
+        win[:, : seg.shape[1]] = seg
         out, self.caches = self._feed(
-            self.params, jnp.asarray(self.feat_buf),
-            jnp.full((self.B,), self.n_frames, jnp.int32),
-            jnp.asarray(self.emitted, jnp.int32), self.caches, n_new,
+            self.params, jnp.asarray(win),
+            jnp.full((self.B,), self.n_frames - s, jnp.int32),
+            jnp.asarray(self.emitted, jnp.int32),
+            jnp.asarray(self.emitted - s // self.stride, jnp.int32),
+            self.caches, n_new,
         )
         self.emitted += n_new
         out = np.asarray(out)
@@ -254,13 +302,13 @@ class StreamingEncoderSession:
             raise ValueError("stream exceeds max_frames")
         self.feat_buf[:, self.n_frames : self.n_frames + t] = chunk
         self.n_frames += t
-        n_new = mature_subsampled(self.n_frames) - self.emitted
+        n_new = mature_subsampled(self.n_frames, self.kernels) - self.emitted
         return self._emit(n_new)
 
     def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
         """Flush the immature tail; returns (encoder_out (B, T_sub, D),
         lengths (B,))."""
-        total = subsampled_length(self.n_frames)
+        total = subsampled_length(self.n_frames, len(self.kernels))
         self._emit(total - self.emitted)
         out = (
             np.concatenate(self.outputs, axis=1)
@@ -268,6 +316,29 @@ class StreamingEncoderSession:
         )
         lengths = np.full((self.B,), total, np.int32)
         return out, lengths
+
+
+def retranslation_commit(
+    prev_hyp: List[int], hyp: List[int], committed: List[int]
+) -> List[int]:
+    """Units to commit this step: the agreement prefix of consecutive
+    re-translations — but only when it still EXTENDS what was already
+    committed. When hypotheses flip away from an old commitment and
+    re-stabilize on a different string, appending that string's tail
+    would emit a mix of two hypotheses; hold the line instead
+    (finalize() reports the true final string)."""
+    common = 0
+    for a, b in zip(prev_hyp, hyp):
+        if a != b:
+            break
+        common += 1
+    stable = hyp[:common]
+    if (
+        len(stable) > len(committed)
+        and stable[: len(committed)] == committed
+    ):
+        return stable[len(committed):]
+    return []
 
 
 class StreamingS2ST:
@@ -296,9 +367,13 @@ class StreamingS2ST:
         max_frames: int,
         beam: int = 5,
         max_len: int = 200,
+        len_penalty: float = 1.0,
+        unk_penalty: float = 0.0,
+        kv_cache_dtype: Optional[str] = None,
         eos_id: int = 2,
         bos_id: int = 2,
         pad_id: int = 1,
+        unk_id: int = 3,
     ):
         from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
 
@@ -312,17 +387,28 @@ class StreamingS2ST:
             raise ValueError(
                 "StreamingS2ST v1 supports the speech-only flagship branch"
             )
+        if cfg.speech_encoder_type != "conv_transformer":
+            raise ValueError(
+                "StreamingS2ST v1 streams the conv_transformer encoder; "
+                f"speech_encoder_type={cfg.speech_encoder_type!r} has no "
+                "incremental path"
+            )
         self.model, self.params = model, params
         self.beam, self.max_len = beam, max_len
         enc_params = {"params": params["params"]["encoder"]}
         self.enc = StreamingEncoderSession(
             enc_params, batch=1, chunk_frames=chunk_frames,
             max_frames=max_frames,
+            feat_dim=cfg.input_feat_per_channel * cfg.input_channels,
             embed_dim=cfg.encoder_embed_dim,
             ffn_dim=cfg.encoder_ffn_embed_dim,
             num_layers=cfg.encoder_layers,
             num_heads=cfg.encoder_attention_heads,
             conv_channels=cfg.conv_channels,
+            conv_kernel_sizes=tuple(cfg.conv_kernel_sizes),
+            activation=cfg.activation_fn,
+            normalize_before=cfg.encoder_normalize_before,
+            max_positions=cfg.max_source_positions,
             attention_window=cfg.encoder_attention_window,
             dtype=jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16,
         )
@@ -336,13 +422,18 @@ class StreamingS2ST:
                 "encoder_padding_mask": enc_mask,
                 "encoder_states": [],
             }
-            state = model.apply(params, enc, max_len + 1, method=model.decode_init)
+            state = model.apply(
+                params, enc, max_len + 1, kv_cache_dtype,
+                method=model.decode_init,
+            )
             state = tile_state_for_beams(state, beam)
             return beam_search(
                 lambda t, s: model.apply(params, t, s, method=model.decode_step),
                 state, 1, beam_size=beam, max_len=max_len,
                 eos_id=eos_id, bos_id=bos_id, pad_id=pad_id,
                 vocab_size=cfg.vocab_size,
+                len_penalty=len_penalty, unk_penalty=unk_penalty,
+                unk_id=unk_id,
             )
 
         self._search = jax.jit(search)
@@ -372,14 +463,7 @@ class StreamingS2ST:
         empty). The last feed of a stream may be short."""
         self.enc.feed(chunk)
         hyp = self._decode_prefix()
-        # Commit the agreement prefix of consecutive re-translations.
-        common = 0
-        for a, b in zip(self._prev_hyp, hyp):
-            if a != b:
-                break
-            common += 1
-        stable = hyp[:common]
-        new = stable[len(self.committed):] if len(stable) > len(self.committed) else []
+        new = retranslation_commit(self._prev_hyp, hyp, self.committed)
         self.committed += new
         self._prev_hyp = hyp
         return new

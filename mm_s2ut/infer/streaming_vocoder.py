@@ -129,9 +129,18 @@ class StreamingVocoderSession:
     def _run_window(self, w0: int, w1: int, e0: int, e1: int) -> np.ndarray:
         """Generator over frames [w0, w1); return samples of frames
         [e0, e1). Callers guarantee e0-w0 ≥ halo unless w0 is the true
-        left edge, and e1+halo ≤ w1 unless w1 is the true right edge."""
-        fu = self.frame_units[w0:w1][None]
-        wav = np.asarray(self._win_fn(self.params, jnp.asarray(fu)))[0]
+        left edge, and e1+halo ≤ w1 unless w1 is the true right edge.
+
+        Mid-stream the frame buffer may not reach w1 yet; the slice is
+        zero-padded to the static window width so the steady-state
+        program compiles ONCE. Exact: the pad begins at ≥ e1 + halo
+        (the _emit_ready condition), so its phantom activations never
+        reach the emitted interior."""
+        fu = self.frame_units[w0:w1]
+        pad = (w1 - w0) - fu.shape[0]
+        if pad > 0:
+            fu = np.concatenate([fu, np.zeros((pad,), np.int32)])
+        wav = np.asarray(self._win_fn(self.params, jnp.asarray(fu[None])))[0]
         return wav[(e0 - w0) * self.hop : (e1 - w0) * self.hop]
 
     def _emit_ready(self, total_f: int) -> List[np.ndarray]:

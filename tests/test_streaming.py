@@ -14,21 +14,32 @@ from mm_s2ut.models.s2t_encoder import SpeechTransformerEncoder
 D, FFN, LAYERS, HEADS, CONV = 32, 64, 2, 2, 16
 
 
-def _offline(window: int):
+def _offline(window: int, kernels=(5, 5), activation="relu", pre_norm=True):
     return SpeechTransformerEncoder(
         embed_dim=D, ffn_dim=FFN, num_layers=LAYERS, num_heads=HEADS,
         conv_channels=CONV, causal_attention=True, attention_window=window,
+        conv_kernel_sizes=kernels, activation=activation,
+        normalize_before=pre_norm,
     )
 
 
-@pytest.mark.parametrize("window", [0, 6])
-def test_streamed_equals_offline_causal(window):
+@pytest.mark.parametrize(
+    "window,kernels,activation,pre_norm",
+    [
+        (0, (5, 5), "relu", True),
+        (6, (5, 5), "relu", True),
+        # Non-default hyperparameters must stream identically too (the
+        # session forwards activation/normalize_before/kernels).
+        (0, (3, 3), "gelu", False),
+    ],
+)
+def test_streamed_equals_offline_causal(window, kernels, activation, pre_norm):
     B, T, CHUNK = 2, 57, 16
     rng = np.random.RandomState(0)
     feats = rng.randn(B, T, 80).astype(np.float32)
     lengths = jnp.full((B,), T, jnp.int32)
 
-    enc = _offline(window)
+    enc = _offline(window, kernels, activation, pre_norm)
     params = enc.init(jax.random.PRNGKey(0), jnp.asarray(feats), lengths)
     want = enc.apply(params, jnp.asarray(feats), lengths)
     want_out = np.asarray(want["encoder_out"])
@@ -38,6 +49,8 @@ def test_streamed_equals_offline_causal(window):
         params, batch=B, chunk_frames=CHUNK, max_frames=128,
         embed_dim=D, ffn_dim=FFN, num_layers=LAYERS, num_heads=HEADS,
         conv_channels=CONV, attention_window=window,
+        conv_kernel_sizes=kernels, activation=activation,
+        normalize_before=pre_norm,
     )
     emitted = 0
     # Full chunks, then a short tail feed (T % CHUNK frames) — the last
@@ -80,13 +93,35 @@ def test_causal_prefix_property():
 
 
 def test_mature_subsampled_matches_receptive_field():
-    # u depends on inputs [4u-6, 4u+6]; mature when 4u+6 <= T-1.
-    for T in range(0, 40):
-        m = mature_subsampled(T)
-        if m:
-            assert 4 * (m - 1) + 6 <= T - 1
-        if T >= 7:
-            assert 4 * m + 6 > T - 1  # the next row is NOT mature
+    from mm_s2ut.infer.streaming import conv_input_halo
+
+    # u depends on inputs [S·u-h, S·u+h]; mature when S·u+h <= T-1.
+    for kernels in [(5, 5), (3, 3), (7, 5), (5, 5, 5)]:
+        S = 2 ** len(kernels)
+        h = conv_input_halo(kernels)
+        for T in range(0, 60):
+            m = mature_subsampled(T, kernels)
+            if m:
+                assert S * (m - 1) + h <= T - 1
+            if T >= h + 1:
+                assert S * m + h > T - 1  # the next row is NOT mature
+    assert conv_input_halo((5, 5)) == 6  # the documented default
+
+
+def test_retranslation_commit_rules():
+    from mm_s2ut.infer.streaming import retranslation_commit
+
+    # Agreement prefix extends the committed prefix → commit the tail.
+    assert retranslation_commit([1, 2, 3], [1, 2, 3, 4], [1, 2]) == [3]
+    # No agreement yet.
+    assert retranslation_commit([], [1, 2], []) == []
+    assert retranslation_commit([9, 2], [1, 2], []) == []
+    # Hypotheses flipped away from the old commitment and re-stabilized
+    # on a different string — must NOT splice its tail onto the old
+    # prefix (the corrupted-mix case).
+    assert retranslation_commit([7, 8, 9, 4], [7, 8, 9, 4], [1, 2, 3]) == []
+    # Stable but shorter than committed → nothing new.
+    assert retranslation_commit([1, 2], [1, 2], [1, 2]) == []
 
 
 def test_streaming_s2st_finalize_matches_offline():
