@@ -160,6 +160,8 @@ class MultiHeadAttention(nn.Module):
         return_weights: bool = False,
         key_padding_mask: Optional[jnp.ndarray] = None,
         use_flash: bool = False,
+        causal: bool = False,
+        causal_window: int = 0,
     ) -> Tuple[jnp.ndarray, Optional[Cache], Optional[jnp.ndarray]]:
         """Returns (out, new_cache, attn_weights|None).
 
@@ -169,9 +171,17 @@ class MultiHeadAttention(nn.Module):
           ``static_kv=True`` (cache pre-filled via :meth:`precompute_kv`).
         * ``use_flash`` + ``key_padding_mask`` (no cache/bias/weights):
           fused Pallas attention kernel (ops.attention).
+        * ``causal`` (+ ``causal_window``): position-causal self-attention
+          mask — in-kernel iotas on the flash path, folded into the bias
+          otherwise (cache-free self-attention only).
         """
         key = query if key is None else key
         value = key if value is None else value
+        if causal and cache is not None:
+            raise ValueError(
+                "causal masking applies to cache-free self-attention; the "
+                "incremental path is causal by construction"
+            )
         if (
             use_flash and cache is None and bias is None and not return_weights
             and (self.dropout == 0.0 or deterministic)
@@ -181,11 +191,25 @@ class MultiHeadAttention(nn.Module):
             q = self._split(self.q_proj(query))
             k = self._split(self.k_proj(key))
             v = self._split(self.v_proj(value))
-            out = fused_attention(q, k, v, key_padding_mask=key_padding_mask)
+            out = fused_attention(
+                q, k, v, key_padding_mask=key_padding_mask,
+                causal=causal, window=causal_window,
+            )
             out = self.out_proj(out.reshape(*query.shape[:2], self.embed_dim).astype(self.dtype))
             return out, None, None
         if bias is None and key_padding_mask is not None:
             bias = make_padding_bias(key_padding_mask, self.dtype)
+        if causal:
+            # Declined the fused path (dropout in training, weights
+            # requested, …) — fold the same mask into the bias so the
+            # dense path stays causal.
+            qpos = jnp.arange(query.shape[1])[:, None]
+            kpos = jnp.arange(key.shape[1])[None, :]
+            allowed = kpos <= qpos
+            if causal_window > 0:
+                allowed = jnp.logical_and(allowed, kpos > qpos - causal_window)
+            cmask = jnp.where(allowed, 0.0, NEG_INF).astype(self.dtype)[None, None]
+            bias = cmask if bias is None else bias + cmask
         q = self._split(self.q_proj(query)) * (self.head_dim**-0.5)
 
         new_cache = None
@@ -315,6 +339,8 @@ class TransformerEncoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = True
     use_flash: bool = False
+    causal: bool = False
+    causal_window: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -346,6 +372,8 @@ class TransformerEncoderLayer(nn.Module):
             deterministic=deterministic,
             key_padding_mask=key_padding_mask if use_flash else None,
             use_flash=use_flash,
+            causal=self.causal,
+            causal_window=self.causal_window,
         )
         h = drop(h, deterministic=deterministic)
         x = residual + h

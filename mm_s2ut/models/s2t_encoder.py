@@ -82,19 +82,25 @@ class SpeechTransformerEncoder(nn.Module):
         padding_mask = lengths_to_padding_mask(lengths, x.shape[1])
         bias = make_padding_bias(padding_mask, self.dtype)
         key_padding_mask = padding_mask
+        layer_causal = False
         if self.causal_attention:
             # Streaming-compatible mask: position i attends to j ≤ i (and
-            # j > i − W when attention_window is set). Folded into the
-            # additive bias; the flash path (padding-mask-only) stays off.
-            S = x.shape[1]
-            i = jnp.arange(S)[:, None]
-            j = jnp.arange(S)[None, :]
-            allowed = j <= i
-            if self.attention_window > 0:
-                allowed = jnp.logical_and(allowed, j > i - self.attention_window)
-            causal = jnp.where(allowed, 0.0, -1e9).astype(self.dtype)
-            bias = bias + causal[None, None, :, :]
-            key_padding_mask = None
+            # j > i − W when attention_window is set).
+            if self.use_flash and self.pipeline_stages <= 1:
+                # The flash kernel applies causal/window masks from iotas
+                # in-kernel (ops/attention.py) — the dense (T, T) bias
+                # below never materializes.
+                layer_causal = True
+            else:
+                S = x.shape[1]
+                i = jnp.arange(S)[:, None]
+                j = jnp.arange(S)[None, :]
+                allowed = j <= i
+                if self.attention_window > 0:
+                    allowed = jnp.logical_and(allowed, j > i - self.attention_window)
+                causal = jnp.where(allowed, 0.0, -1e9).astype(self.dtype)
+                bias = bias + causal[None, None, :, :]
+                key_padding_mask = None
         # Zero out padded positions so they can't leak through convs/LN.
         x = x * (~padding_mask)[..., None].astype(x.dtype)
 
@@ -149,6 +155,8 @@ class SpeechTransformerEncoder(nn.Module):
                 activation=self.activation,
                 normalize_before=self.normalize_before,
                 use_flash=self.use_flash,
+                causal=layer_causal,
+                causal_window=self.attention_window if layer_causal else 0,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(x, bias, deterministic, key_padding_mask)

@@ -22,4 +22,8 @@ MM_BENCH_BATCH=256 MM_BENCH_SKIP_EXTRAS=1 timeout 3600 python bench.py \
 SRV_SLOTS=64 timeout 5400 python benchmarks/bench_serving.py \
   2>/tmp/tpu_session/serving.log | tee /tmp/tpu_session/serving.json
 
+# 5. Causal flash kernel: on-chip correctness + timing vs XLA.
+timeout 1200 python scripts_dev/causal_tpu_probe.py \
+  2>&1 | tee /tmp/tpu_session/causal.txt
+
 echo DONE

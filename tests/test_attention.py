@@ -85,3 +85,70 @@ def test_encoder_flash_flag_matches_reference():
         np.asarray(out_a["encoder_out"]), np.asarray(out_b["encoder_out"]),
         atol=1e-5, rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("window", [0, 5])
+def test_flash_causal_matches_reference(window):
+    """In-kernel causal/window iota mask == reference masking."""
+    B, T, H, D = 2, 48, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(3), (B, T, H, D))
+    mask = jnp.zeros((B, T), bool).at[1, T - 9 :].set(True)
+    got = np.asarray(flash_attention(
+        q, k, v, key_padding_mask=mask, interpret=True, block_q=16,
+        causal=True, window=window,
+    ))
+    bias = jnp.where(mask, NEG_INF, 0.0)[:, None, None, :]
+    want = np.asarray(reference_attention(
+        q * D**-0.5, k, v, bias, causal=True, window=window
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_causal_grad_matches_reference():
+    B, T, H, D = 1, 32, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(4), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(5), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(6), (B, T, H, D))
+
+    def f_flash(q, k, v):
+        return flash_attention(
+            q, k, v, interpret=True, block_q=16, causal=True, window=4
+        ).sum()
+
+    def f_ref(q, k, v):
+        return reference_attention(
+            q * D**-0.5, k, v, None, causal=True, window=4
+        ).sum()
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_causal_encoder_flash_flag_matches_folded_bias():
+    """use_flash=True (kernel/dispatch causal plumbing) == use_flash=False
+    (dense folded-bias path) for a causal encoder, incl. a left window."""
+    from mm_s2ut.models.s2t_encoder import SpeechTransformerEncoder
+
+    B, T = 2, 57
+    feats = jnp.asarray(
+        np.random.RandomState(0).randn(B, T, 80).astype(np.float32)
+    )
+    lengths = jnp.asarray([T, T - 17], jnp.int32)
+    for window in (0, 6):
+        kw = dict(
+            embed_dim=32, ffn_dim=64, num_layers=2, num_heads=2,
+            conv_channels=16, causal_attention=True, attention_window=window,
+        )
+        enc_a = SpeechTransformerEncoder(use_flash=False, **kw)
+        enc_b = SpeechTransformerEncoder(use_flash=True, **kw)
+        params = enc_a.init(jax.random.PRNGKey(0), feats, lengths)
+        out_a = enc_a.apply(params, feats, lengths)
+        out_b = enc_b.apply(params, feats, lengths)
+        np.testing.assert_allclose(
+            np.asarray(out_a["encoder_out"]), np.asarray(out_b["encoder_out"]),
+            atol=1e-5, rtol=1e-5,
+        )
