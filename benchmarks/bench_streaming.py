@@ -1,0 +1,109 @@
+"""Streaming S2ST latency benchmark.
+
+Streams synthetic 16 kHz audio through StreamingS2ST (causal flagship
+dims, random weights — latency depends on shapes, not weights) and
+reports per-chunk wall latency after warmup, i.e. the added processing
+delay a live client sees on top of the chunk cadence.
+
+Prints ONE JSON line:
+  {"metric": "stream_chunk_p50_ms", "value": ..., "extras": {...}}
+
+Env knobs: STREAM_CHUNK_MS (320), STREAM_SECONDS (10), STREAM_BEAM (10),
+STREAM_LAYERS (12), STREAM_UTTS (3).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    chunk_ms = int(os.environ.get("STREAM_CHUNK_MS", "320"))
+    seconds = float(os.environ.get("STREAM_SECONDS", "10"))
+    beam = int(os.environ.get("STREAM_BEAM", "10"))
+    layers = int(os.environ.get("STREAM_LAYERS", "12"))
+    utts = int(os.environ.get("STREAM_UTTS", "3"))
+
+    from mm_s2ut.config import ModelConfig, MultimodalConfig
+    from mm_s2ut.infer.streaming import StreamingS2ST
+    from mm_s2ut.models.mm_s2ut import MMS2UTModel
+
+    cfg = ModelConfig(
+        encoder_layers=layers, vocab_size=1004, dtype="bfloat16",
+        encoder_causal_attention=True,
+        multimodal=MultimodalConfig(multimodal_attention_type=None),
+    )
+    model = MMS2UTModel(cfg)
+
+    sr, shift, flen = 16000, 160, 400
+    total_samples = int(seconds * sr)
+    total_frames = (total_samples - flen) // shift + 1
+    chunk_frames = chunk_ms * sr // 1000 // shift
+
+    rng = np.random.RandomState(0)
+    feats0 = rng.randn(1, total_frames, 80).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats0[:, :64]),
+        jnp.asarray([64], np.int32), jnp.zeros((1, 3), jnp.int32),
+    )
+
+    # Random weights rarely emit EOS, so every re-translation runs to
+    # max_len; cap it at a realistic unit budget (~25-50 units/s speech)
+    # instead of the generation-config worst case.
+    max_len = int(min(
+        int(os.environ.get("STREAM_MAX_LEN", "500")),
+        cfg.max_target_positions - 1,
+    ))
+
+    def run_utt(seed: int):
+        feats = np.random.RandomState(seed).randn(
+            1, total_frames, 80
+        ).astype(np.float32)
+        srv = StreamingS2ST(
+            model, params, chunk_frames=chunk_frames,
+            max_frames=total_frames + 4, beam=beam, max_len=max_len,
+        )
+        lat = []
+        for s in range(0, total_frames, chunk_frames):
+            c = feats[:, s : min(s + chunk_frames, total_frames)]
+            t0 = time.perf_counter()
+            srv.feed(c)
+            lat.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        final = srv.finalize()
+        fin_ms = (time.perf_counter() - t0) * 1e3
+        return lat, fin_ms, len(final), len(srv.committed)
+
+    run_utt(1)  # warmup: compiles (first feed / steady feed / search)
+    lats, fins, ratios = [], [], []
+    for u in range(utts):
+        lat, fin, n_final, n_comm = run_utt(2 + u)
+        lats += lat[1:]  # first chunk of each utt may recompile n_new
+        fins.append(fin)
+        ratios.append(n_comm / max(1, n_final))
+    lats = np.asarray(lats)
+    out = {
+        "metric": "stream_chunk_p50_ms",
+        "value": round(float(np.percentile(lats, 50)), 3),
+        "unit": "ms",
+        "extras": {
+            "chunk_ms": chunk_ms,
+            "p95_ms": round(float(np.percentile(lats, 95)), 3),
+            "max_ms": round(float(lats.max()), 3),
+            "finalize_ms": round(float(np.mean(fins)), 3),
+            "beam": beam,
+            "encoder_layers": layers,
+            "audio_seconds": seconds,
+            "commit_ratio": round(float(np.mean(ratios)), 3),
+            "realtime_ok": bool(np.percentile(lats, 95) < chunk_ms),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,4 +26,8 @@ SRV_SLOTS=64 timeout 5400 python benchmarks/bench_serving.py \
 timeout 1200 python scripts_dev/causal_tpu_probe.py \
   2>&1 | tee /tmp/tpu_session/causal.txt
 
+# 6. Streaming S2ST per-chunk latency.
+timeout 2400 python benchmarks/bench_streaming.py \
+  2>/tmp/tpu_session/stream.log | tee /tmp/tpu_session/stream.json
+
 echo DONE
