@@ -15,10 +15,14 @@ serializes), and throughput is the marginal time between an m=1 and an
 m=5 run (two-point measure), which cancels the fixed dispatch/relay
 latency of the dev-tunnel TPU without compiling a second, longer scan.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-we normalize against an estimated 10 utt/s for fairseq-generate at the
-reference operating point (beam 10, ~10 s utterances, single A100). The
-BASELINE.json target is ≥10× that, i.e. vs_baseline ≥ 10.
+vs_baseline: the reference publishes no throughput numbers; we normalize
+against an estimated 10 utt/s for fairseq-generate at the reference
+operating point (beam 10, ~10 s utterances, single A100) — see
+BASELINE.md "Derivation of the 10 utt/s fairseq-generate estimate" for
+the bottom-up cost model (launch-overhead-bound incremental decode at
+2-4 ms/step) and the sensitivity line (even at 2x the modeled baseline,
+the round-3 headline stays >6x). The BASELINE.json target is >=10x, i.e.
+vs_baseline >= 10; the absolute utt/s value is the primary figure.
 
 Prints ONE JSON line.
 """
@@ -372,6 +376,54 @@ def main():
             100 * train_flops(8, 1000, 100, cfg) / (t_ms / 1e3) / PEAK_BF16_FLOPS,
             2,
         )
+        # Serving + streaming headline numbers in the driver artifact
+        # (VERDICT r3 weak #6): run the dedicated benchmarks in-process
+        # (the TPU is single-client here — a subprocess could not attach)
+        # and fold their JSON into extras.
+        import contextlib
+        import io
+        import sys as _sys
+
+        bench_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"
+        )
+        if bench_dir not in _sys.path:
+            _sys.path.insert(0, bench_dir)
+        os.environ.setdefault("SRV_N", "128")  # marginal = 256 requests
+        try:
+            import bench_serving
+
+            _log("serving benchmark")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                bench_serving.main()
+            for line in buf.getvalue().splitlines():
+                rec = json.loads(line)
+                if rec["metric"] == "serving_utt_per_sec":
+                    extra["serving_utt_per_sec"] = rec["value"]
+                    extra["serving_slots"] = rec["extra"]["slots"]
+                    extra["serving_beam"] = rec["extra"]["beam"]
+                elif rec["metric"] == "static_sorted_utt_per_sec":
+                    extra["static_sorted_utt_per_sec"] = rec["value"]
+        except Exception as e:  # keep the headline even if serving breaks
+            extra["serving_error"] = repr(e)[:200]
+        try:
+            import bench_streaming
+
+            _log("streaming benchmark")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                bench_streaming.main()
+            for line in buf.getvalue().splitlines():
+                rec = json.loads(line)
+                if rec.get("metric") == "stream_chunk_p50_ms":
+                    extra["stream_chunk_p50_ms"] = rec["value"]
+                    ex = rec.get("extras", {})
+                    for k in ("p95_ms", "p99_ms", "chunk_ms", "realtime_ok"):
+                        if k in ex:
+                            extra[f"stream_{k}"] = ex[k]
+        except Exception as e:
+            extra["streaming_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": f"e2e_s2st_beam{BEAM}_vocoder_utterances_per_sec",

@@ -93,6 +93,7 @@ def main() -> None:
         "extras": {
             "chunk_ms": chunk_ms,
             "p95_ms": round(float(np.percentile(lats, 95)), 3),
+            "p99_ms": round(float(np.percentile(lats, 99)), 3),
             "max_ms": round(float(lats.max()), 3),
             "finalize_ms": round(float(np.mean(fins)), 3),
             "beam": beam,

@@ -21,7 +21,9 @@ logger = logging.getLogger("mm_s2ut.generate")
 
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m mm_s2ut.cli.generate")
-    ap.add_argument("--model_path", required=True, help="Trainer checkpoint dir")
+    ap.add_argument("--model_path", required=True,
+                    help="Trainer checkpoint dir; N colon-separated dirs "
+                         "run a logit ensemble (fairseq --path a.pt:b.pt)")
     ap.add_argument("--gen-subset", default="test")
     ap.add_argument("--results-path", required=True)
     ap.add_argument("--beam", type=int, default=None)
@@ -36,7 +38,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     from mm_s2ut.infer.generator import UnitGenerator, format_generation_output
     from mm_s2ut.inference import load_checkpoint
 
-    cfg, model, params = load_checkpoint(args.model_path)
+    paths = args.model_path.split(":")
+    cfg, model, params = load_checkpoint(paths[0])
+    if len(paths) > 1:
+        # Logit-ensemble decoding (fairseq load_model_ensemble semantics,
+        # reference mm_s2s_transformer.py:229): all checkpoints must share
+        # the architecture of the first; UnitGenerator averages per-step
+        # probabilities across them.
+        params = [params] + [load_checkpoint(p)[2] for p in paths[1:]]
     if args.beam:
         cfg.generation.beam = args.beam
     if args.max_len_a is not None:

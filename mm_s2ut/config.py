@@ -254,6 +254,12 @@ class ModelConfig:
     # Speech-encoder branch selection (reference mm_s2s_transformer.py:378-462):
     # "conv_transformer" | "hubert" | "wav2vec2" | "wav2vec2_multimodal"
     speech_encoder_type: str = "conv_transformer"
+    # wav2vec2/mHuBERT encoder dims for the in-graph speech branches and
+    # the XM model. The reference reads these from the w2v_path
+    # checkpoint's saved args (mm_s2s_transformer.py:408-430); here they
+    # are explicit yaml keys overriding Wav2Vec2Config field defaults
+    # (empty ⇒ base-model dims).
+    w2v_args: Dict[str, Any] = field(default_factory=dict)
     # Speaker embedding (optional).
     speaker_embed_dim: int = 0
     # Units.
@@ -263,8 +269,9 @@ class ModelConfig:
     ctc_weight: float = 0.0
     # Compute dtype for the forward pass (bf16 on TPU, F3).
     dtype: str = "bfloat16"
-    # Fused Pallas attention in the encoder (eval path; train falls back
-    # when attention dropout is active).
+    # Fused Pallas attention in the encoder (train and eval; attention
+    # dropout runs in-kernel via a counter-based hash mask that the
+    # backward recompute regenerates bit-identically).
     use_flash_attention: bool = True
     # Per-layer activation rematerialization in the encoder (reference
     # --checkpoint-activations → jax.checkpoint).

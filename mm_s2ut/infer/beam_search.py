@@ -97,10 +97,17 @@ def beam_search(
     N = batch_size·beam_size; ``init_state`` must already be tiled to N.
     Returns (sequences (B, K, max_len) padded with pad_id — EOS included —
     and scores (B, K) length-normalized, best first).
+
+    ``init_state`` may also be a tuple/list of per-model state dicts
+    (logit-ensemble decoding, UnitGenerator): ``decode_step`` then
+    receives/returns the tuple, and the cache bookkeeping (ancestry
+    reorder, segmented growth) applies to every member.
     """
     B, K, V = batch_size, beam_size, vocab_size
     if V < 2:
         raise ValueError(f"vocab_size must be >= 2, got {V}")
+    multi = isinstance(init_state, (tuple, list))
+    init_states = tuple(init_state) if multi else (init_state,)
 
     alive_seq = jnp.full((B, K, max_len + 1), pad_id, jnp.int32)
     alive_seq = alive_seq.at[:, :, 0].set(bos_id)
@@ -113,11 +120,14 @@ def beam_search(
     fin_flags = jnp.zeros((B, K), bool)
 
     def body(carry):
-        step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, state = carry
+        step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, states = carry
         prev_tok = jax.lax.dynamic_slice_in_dim(
             alive_seq.reshape(B * K, max_len + 1), step, 1, axis=1
         )
-        logits, state = decode_step(prev_tok, state)
+        logits, new_state = decode_step(
+            prev_tok, states if multi else states[0]
+        )
+        states = tuple(new_state) if multi else (new_state,)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if unk_penalty != 0.0:
             logp = logp.at[:, unk_id].add(-unk_penalty)
@@ -168,7 +178,7 @@ def beam_search(
         new_alive_logp, alive_top = jax.lax.top_k(alive_cand_scores, K)
         new_alive_seq = jnp.take_along_axis(seq2k, alive_top[..., None], axis=1)
         src_beam = jnp.take_along_axis(top_beam, alive_top, axis=1)  # (B, K)
-        state = _reorder_ancestry(state, src_beam, step)
+        states = tuple(_reorder_ancestry(s, src_beam, step) for s in states)
 
         return (
             step + 1,
@@ -177,7 +187,7 @@ def beam_search(
             new_fin_seq,
             new_fin_scores,
             new_fin_flags,
-            state,
+            states,
         )
 
     # Segmented execution: run with a small KV cache first and grow it
@@ -198,14 +208,14 @@ def beam_search(
             return jnp.logical_and(not_done, improvable)
         return cond
 
-    kv_full = init_state["self_kv"]  # (B, L, H, T·K (÷2 if int4), 2·Dh)
+    kv_full = init_states[0]["self_kv"]  # (B, L, H, T·K (÷2 if int4), 2·Dh)
     # int4 nibble-packed caches (half-split layout, decode_attention.py)
     # have a 2:1 scale-to-slab shape ratio; their physical axis is half
     # the logical flattened length, and growth must RE-PACK (the half
     # boundary moves with the capacity), not pad.
     int4 = (
-        "self_kv_sk" in init_state
-        and init_state["self_kv_sk"].shape[3] == 2 * kv_full.shape[3]
+        "self_kv_sk" in init_states[0]
+        and init_states[0]["self_kv_sk"].shape[3] == 2 * kv_full.shape[3]
     )
     pack_div = 2 if int4 else 1
     T_full = kv_full.shape[3] * pack_div // K
@@ -216,49 +226,54 @@ def beam_search(
         c *= 2
     caps.append(T_full)
 
-    state0 = {
-        **init_state,
-        # Slicing the packed int4 slab reinterprets its half boundary,
-        # which is harmless only because the cache is still EMPTY here.
-        "self_kv": kv_full[:, :, :, : caps[0] * K // pack_div],
-        "ancestry": init_state["ancestry"][:, :, : caps[0]],
-    }
-    for skey in ("self_kv_sk", "self_kv_sv"):  # int8/int4 dequant scales
-        if skey in init_state:
-            state0[skey] = init_state[skey][:, :, :, : caps[0] * K]
+    def shrink(st):
+        s0 = {
+            **st,
+            # Slicing the packed int4 slab reinterprets its half boundary,
+            # which is harmless only because the cache is still EMPTY here.
+            "self_kv": st["self_kv"][:, :, :, : caps[0] * K // pack_div],
+            "ancestry": st["ancestry"][:, :, : caps[0]],
+        }
+        for skey in ("self_kv_sk", "self_kv_sv"):  # int8/int4 dequant scales
+            if skey in st:
+                s0[skey] = st[skey][:, :, :, : caps[0] * K]
+        return s0
+
+    def grow(st, cap):
+        kv = st["self_kv"]
+        if int4:
+            from mm_s2ut.ops.decode_attention import i4_regrow
+
+            kv_grown = i4_regrow(kv, cap * K // 2)
+        else:
+            kv_grown = jnp.pad(
+                kv,
+                ((0, 0), (0, 0), (0, 0),
+                 (0, cap * K - kv.shape[3]), (0, 0)),
+            )
+        grown = {
+            "self_kv": kv_grown,
+            "ancestry": jnp.pad(
+                st["ancestry"],
+                ((0, 0), (0, 0), (0, cap - st["ancestry"].shape[2])),
+            ),
+        }
+        for skey in ("self_kv_sk", "self_kv_sv"):
+            if skey in st:
+                grown[skey] = jnp.pad(
+                    st[skey],
+                    ((0, 0), (0, 0), (0, 0),
+                     (0, cap * K - st[skey].shape[3])),
+                )
+        return {**st, **grown}
+
     carry = (
         jnp.zeros((), jnp.int32), alive_seq, alive_logp,
-        fin_seq, fin_scores, fin_flags, state0,
+        fin_seq, fin_scores, fin_flags, tuple(shrink(s) for s in init_states),
     )
     for i, cap in enumerate(caps):
         if i > 0:
-            st = carry[-1]
-            kv = st["self_kv"]
-            if int4:
-                from mm_s2ut.ops.decode_attention import i4_regrow
-
-                kv_grown = i4_regrow(kv, cap * K // 2)
-            else:
-                kv_grown = jnp.pad(
-                    kv,
-                    ((0, 0), (0, 0), (0, 0),
-                     (0, cap * K - kv.shape[3]), (0, 0)),
-                )
-            grown = {
-                "self_kv": kv_grown,
-                "ancestry": jnp.pad(
-                    st["ancestry"],
-                    ((0, 0), (0, 0), (0, cap - st["ancestry"].shape[2])),
-                ),
-            }
-            for skey in ("self_kv_sk", "self_kv_sv"):
-                if skey in st:
-                    grown[skey] = jnp.pad(
-                        st[skey],
-                        ((0, 0), (0, 0), (0, 0),
-                         (0, cap * K - st[skey].shape[3])),
-                    )
-            carry = (*carry[:-1], {**st, **grown})
+            carry = (*carry[:-1], tuple(grow(s, cap) for s in carry[-1]))
         seg_end = min(cap, max_len)
         carry = jax.lax.while_loop(cond_until(seg_end), body, carry)
     step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, _ = carry

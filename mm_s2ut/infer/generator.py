@@ -20,7 +20,15 @@ from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams, trim_hy
 
 
 class UnitGenerator:
-    """Beam-search generator over an MMS2UTModel."""
+    """Beam-search generator over an MMS2UTModel.
+
+    ``params`` may be one pytree or a sequence of pytrees: a sequence
+    runs LOGIT-ENSEMBLE decoding — each model keeps its own decode
+    cache, and per-step next-token scores are the log of the mean
+    probability across models (fairseq EnsembleModel.forward_decoder
+    semantics; the reference loads ensembles via
+    checkpoint_utils.load_model_ensemble_and_task,
+    mm_s2s_transformer.py:229)."""
 
     def __init__(
         self,
@@ -34,7 +42,9 @@ class UnitGenerator:
         max_target_positions: int = 3000,
     ):
         self.model = model
-        self.params = params
+        is_ensemble = isinstance(params, (list, tuple))
+        self.params_list = tuple(params) if is_ensemble else (params,)
+        self.params = self.params_list[0]
         self.cfg = gen_cfg
         self.eos_id, self.bos_id, self.pad_id, self.unk_id = eos_id, bos_id, pad_id, unk_id
         self.max_target_positions = max_target_positions
@@ -51,18 +61,39 @@ class UnitGenerator:
         # keys its jit cache on the decode_step callable, so building a
         # fresh lambda per generate() call would retrace the whole search
         # every batch. Bound here, the program caches per (shapes, max_len).
-        def _search(params, enc, max_len):
-            state = self.model.apply(
-                params, enc, max_len + 1, method=self.model.decode_init,
-                kv_dtype=getattr(self.cfg, "kv_cache_dtype", None),
+        def _search(params_list, encs, max_len):
+            states = tuple(
+                tile_state_for_beams(
+                    self.model.apply(
+                        p, enc, max_len + 1, method=self.model.decode_init,
+                        kv_dtype=getattr(self.cfg, "kv_cache_dtype", None),
+                    ),
+                    self.cfg.beam,
+                )
+                for p, enc in zip(params_list, encs)
             )
-            state = tile_state_for_beams(state, self.cfg.beam)
+
+            def step(tokens, sts):
+                outs = [
+                    self.model.apply(p, tokens, st, method=self.model.decode_step)
+                    for p, st in zip(params_list, sts)
+                ]
+                new_sts = tuple(st for _, st in outs)
+                if len(outs) == 1:
+                    return outs[0][0], new_sts
+                # log(mean_i softmax(logits_i)) — normalized, so the
+                # search's own log_softmax is a numerical no-op on it.
+                logps = jnp.stack([
+                    jax.nn.log_softmax(l.astype(jnp.float32), axis=-1)
+                    for l, _ in outs
+                ])
+                avg = jax.nn.logsumexp(logps, axis=0) - jnp.log(float(len(outs)))
+                return avg, new_sts
+
             return beam_search(
-                lambda t, s: self.model.apply(
-                    params, t, s, method=self.model.decode_step
-                ),
-                state,
-                enc["encoder_out"].shape[0],
+                step,
+                states,
+                encs[0]["encoder_out"].shape[0],
                 beam_size=self.cfg.beam,
                 max_len=max_len,
                 eos_id=self.eos_id,
@@ -77,9 +108,15 @@ class UnitGenerator:
         self._search = jax.jit(_search, static_argnames=("max_len",))
 
     def _max_len(self, src_frames: int) -> int:
+        # Budget counts encoder positions: raw-audio models (XM) expose
+        # their conv downsampling so max_len_a·src stays in the regime the
+        # reference tuned it for (fbank frames / text positions), instead
+        # of sample counts that always clamp to max_target_positions.
+        ratio = getattr(self.model, "source_downsample_ratio", 1)
+        src_positions = -(-src_frames // ratio)
         return int(
             min(
-                self.cfg.max_len_a * src_frames + self.cfg.max_len_b,
+                self.cfg.max_len_a * src_positions + self.cfg.max_len_b,
                 self.max_target_positions - 1,
             )
         )
@@ -100,13 +137,16 @@ class UnitGenerator:
                 raise ValueError(
                     f"image batch {img.shape[0]} != audio batch {B}"
                 )
-        enc = self._encode(
-            self.params, jnp.asarray(src_features), jnp.asarray(src_lengths),
-            tuple(jnp.asarray(x) for x in imgs_list),
-            tuple(jnp.asarray(x) for x in img_masks_list),
+        encs = tuple(
+            self._encode(
+                p, jnp.asarray(src_features), jnp.asarray(src_lengths),
+                tuple(jnp.asarray(x) for x in imgs_list),
+                tuple(jnp.asarray(x) for x in img_masks_list),
+            )
+            for p in self.params_list
         )
         max_len = self._max_len(int(src_features.shape[1]))
-        seqs, scores = self._search(self.params, enc, max_len)
+        seqs, scores = self._search(self.params_list, encs, max_len)
         seqs = np.asarray(seqs)
         scores = np.asarray(scores)
         results = []

@@ -21,8 +21,9 @@ def build_model_from_config(cfg):
         args = dict(mm.visual_extractor_args)
         args.setdefault("image_size", mm.image_input_size)
         vit_cfg = base(**args)
-    if cfg.task == "multimodal_speech_to_text":
-        from mm_s2ut.models.wav2vec2 import Wav2Vec2Config
+    from mm_s2ut.models.wav2vec2 import Wav2Vec2Config
 
-        return MMXMTransformerModel(cfg.model, w2v_cfg=Wav2Vec2Config())
-    return MMS2UTModel(cfg.model, vit_cfg=vit_cfg)
+    w2v_cfg = Wav2Vec2Config.from_args(cfg.model.w2v_args)
+    if cfg.task == "multimodal_speech_to_text":
+        return MMXMTransformerModel(cfg.model, w2v_cfg=w2v_cfg)
+    return MMS2UTModel(cfg.model, vit_cfg=vit_cfg, w2v_cfg=w2v_cfg)

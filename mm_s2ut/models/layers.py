@@ -182,18 +182,25 @@ class MultiHeadAttention(nn.Module):
                 "causal masking applies to cache-free self-attention; the "
                 "incremental path is causal by construction"
             )
-        if (
-            use_flash and cache is None and bias is None and not return_weights
-            and (self.dropout == 0.0 or deterministic)
-        ):
+        if use_flash and cache is None and bias is None and not return_weights:
             from mm_s2ut.ops.attention import attention as fused_attention
 
+            drop_rate = 0.0 if deterministic else self.dropout
+            drop_seed = None
+            if drop_rate > 0.0:
+                # Per-call uint32 seed for the in-kernel counter-based
+                # dropout hash (ops.attention.dropout_keep): flax's
+                # "dropout" rng stream keeps layers/steps decorrelated.
+                drop_seed = jax.random.bits(
+                    self.make_rng("dropout"), (), jnp.uint32
+                )
             q = self._split(self.q_proj(query))
             k = self._split(self.k_proj(key))
             v = self._split(self.v_proj(value))
             out = fused_attention(
                 q, k, v, key_padding_mask=key_padding_mask,
                 causal=causal, window=causal_window,
+                dropout_rate=drop_rate, dropout_seed=drop_seed,
             )
             out = self.out_proj(out.reshape(*query.shape[:2], self.embed_dim).astype(self.dtype))
             return out, None, None

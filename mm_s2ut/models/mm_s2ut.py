@@ -71,6 +71,21 @@ class MMS2UTModel(nn.Module):
     # convert_clip_state_dict into this submodule's params.
     vit_cfg: Any = None
 
+    @property
+    def source_downsample_ratio(self) -> int:
+        """Input positions per pre-subsample encoder frame: 1 for the
+        fbank/conv branch (generation budgets count fbank frames, the
+        reference convention), the conv-stack stride product (~320
+        samples/frame) for raw-waveform wav2vec2/mHuBERT branches —
+        keeps max_len_a·src in the regime fairseq tuned it for
+        (UnitGenerator._max_len)."""
+        if self.cfg.speech_encoder_type == "conv_transformer":
+            return 1
+        r = 1
+        for s in self.w2v_cfg.conv_stride:
+            r *= s
+        return r
+
     def setup(self):
         cfg, mm = self.cfg, self.cfg.multimodal
         dtype = _dtype(cfg)

@@ -75,6 +75,19 @@ class MMXMTransformerModel(nn.Module):
     adaptor_kernel: int = 3
     adaptor_stride: int = 2
 
+    @property
+    def source_downsample_ratio(self) -> int:
+        """Input positions per encoder position (raw samples through the
+        wav2vec2 conv stack then the adaptor). Generation budgets
+        (max_len_a·src + max_len_b) count ENCODER positions here — with
+        raw-audio inputs, fairseq's src_tokens.size(1) would be samples
+        and the budget would always clamp to max_target_positions, which
+        a fixed-shape search cannot afford."""
+        r = 1
+        for s in self.w2v_cfg.conv_stride:
+            r *= s
+        return r * self.adaptor_stride**self.adaptor_layers
+
     def setup(self):
         cfg, mm = self.cfg, self.cfg.multimodal
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32

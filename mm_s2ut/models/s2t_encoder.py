@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from typing import Any, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -41,7 +42,8 @@ class SpeechTransformerEncoder(nn.Module):
     activation: str = "relu"
     normalize_before: bool = True
     max_positions: int = 6000
-    use_flash: bool = False  # Pallas fused self-attention (eval path)
+    use_flash: bool = False  # Pallas fused self-attention (train + eval;
+    # attention dropout runs in-kernel via the counter-based hash)
     remat: bool = False  # activation rematerialization (reference
     # --checkpoint-activations; here jax.checkpoint per layer)
     sequence_parallel: bool = False  # shard activations (B, T, D) as
@@ -78,6 +80,19 @@ class SpeechTransformerEncoder(nn.Module):
             self.embed_dim, self.max_positions, dtype=self.dtype, name="pos"
         )(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        if self.use_flash and jax.devices()[0].platform not in ("cpu", "gpu"):
+            # The fused kernel wants sublane-aligned sequence lengths
+            # (ops/attention.py gates on S % 8 == 0); bucketed batches
+            # arrive at T/4 rows that are typically only even (the
+            # sample-domain bucketing quantum). Pad the frame axis to a
+            # multiple of 16 — padded rows are masked everywhere below
+            # and every consumer of encoder_out honours the mask. Without
+            # this, common shapes like T=250 silently fell back to the
+            # dense XLA path.
+            pad = (-x.shape[1]) % 16
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
         padding_mask = lengths_to_padding_mask(lengths, x.shape[1])
         bias = make_padding_bias(padding_mask, self.dtype)

@@ -67,6 +67,18 @@ class Wav2Vec2Config:
     pad_to_multiple: int = 1
 
     @classmethod
+    def from_args(cls, args=None) -> "Wav2Vec2Config":
+        """Field overrides from a plain dict (ModelConfig.w2v_args — the
+        yaml analog of the reference reading dims from the w2v_path
+        checkpoint's saved args). Yaml lists become the tuple-typed conv
+        specs."""
+        args = dict(args or {})
+        for k in ("conv_dim", "conv_stride", "conv_kernel"):
+            if k in args:
+                args[k] = tuple(args[k])
+        return cls(**args)
+
+    @classmethod
     def from_hf(cls, hf_cfg) -> "Wav2Vec2Config":
         return cls(
             conv_dim=tuple(hf_cfg.conv_dim),

@@ -18,10 +18,49 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+
+# Counter-based dropout hash (attention-weight dropout inside the fused
+# kernel): the keep/drop decision for weight (bh, q, k) is a pure integer
+# mix of its absolute coordinates and a per-call seed, so the Pallas
+# forward tiles and the XLA recompute in the backward reproduce the SAME
+# mask from iotas alone — nothing is stored, and tiling does not change
+# the stream. The mixer is a murmur3-style finalizer; dropout needs
+# decorrelated bits, not crypto.
+_H1 = np.uint32(0x85EBCA6B)
+_H2 = np.uint32(0xC2B2AE35)
+_H3 = np.uint32(0x27D4EB2F)
+
+
+def _mix(x: jnp.ndarray) -> jnp.ndarray:
+    x = x ^ (x >> 16)
+    x = x * _H1
+    x = x ^ (x >> 13)
+    x = x * _H2
+    x = x ^ (x >> 16)
+    return x
+
+
+def dropout_keep(
+    bh: jnp.ndarray,  # (...,) uint32 batch·head coordinate
+    qpos: jnp.ndarray,  # (...,) uint32 absolute query position
+    kpos: jnp.ndarray,  # (...,) uint32 absolute key position
+    seed: jnp.ndarray,  # () uint32 per-call seed
+    rate: float,
+) -> jnp.ndarray:
+    """Boolean keep-mask, broadcast over the operands' common shape."""
+    h = _mix(qpos.astype(jnp.uint32) * _H3 + seed)
+    h = _mix(h ^ (kpos.astype(jnp.uint32) * _H1))
+    h = _mix(h ^ (bh.astype(jnp.uint32) * _H2))
+    # Top 24 bits -> uniform [0, 1). Route the cast through int32:
+    # Mosaic has no uint32 -> float32 lowering, and 24 bits always fit
+    # the positive int32 range.
+    u = (h >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return u >= rate
 
 
 def reference_attention(
@@ -31,6 +70,8 @@ def reference_attention(
     bias: Optional[jnp.ndarray] = None,  # (B, 1|H, Tq|1, Tk) additive
     causal: bool = False,
     window: int = 0,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     if bias is not None:
@@ -45,26 +86,41 @@ def reference_attention(
             allowed = jnp.logical_and(allowed, kpos > qpos - window)
         logits = jnp.where(allowed[None, None], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and dropout_seed is not None:
+        B, Tq, H, _ = q.shape
+        S = k.shape[1]
+        bh = (jnp.arange(B)[:, None] * H + jnp.arange(H)[None, :]).astype(jnp.uint32)
+        keep = dropout_keep(
+            bh[:, :, None, None],
+            jnp.arange(Tq, dtype=jnp.uint32)[None, None, :, None],
+            jnp.arange(S, dtype=jnp.uint32)[None, None, None, :],
+            dropout_seed.astype(jnp.uint32),
+            dropout_rate,
+        )
+        weights = jnp.where(keep, weights, 0.0) / (1.0 - dropout_rate)
+        weights = weights.astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
 def _attn_kernel(
-    q_ref, k_ref, v_ref, bias_ref, o_ref,
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
     *, scale: float, block_q: int, causal: bool, window: int,
+    dropout_rate: float,
 ):
-    # q: (block_q, D); k/v: (S, D); bias: (1, S) additive fp32.
-    # Inputs stay bf16 into the MXU (fp32 accumulate via
-    # preferred_element_type); scale folds into the fp32 logits.
+    # q: (block_q, D); k/v: (S, D); bias: (1, S) additive fp32;
+    # seed: (1, 1) uint32 in SMEM.  Inputs stay bf16 into the MXU (fp32
+    # accumulate via preferred_element_type); scale folds into the fp32
+    # logits.
     logits = jax.lax.dot_general(
         q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (block_q, S)
     logits = logits * scale + bias_ref[:]
+    S = logits.shape[-1]
+    q0 = pl.program_id(1) * block_q
     if causal:
         # The causal/window mask is computed on the VPU from iotas — the
         # dense (B, 1, T, T) bias the XLA path materializes never exists.
-        S = logits.shape[-1]
-        q0 = pl.program_id(1) * block_q
         qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 0)
         kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 1)
         allowed = kpos <= qpos
@@ -74,14 +130,27 @@ def _attn_kernel(
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    w = (p / denom).astype(v_ref.dtype)
+    w = p / denom
+    if dropout_rate > 0.0:
+        # Attention-weight dropout from the counter-based hash: absolute
+        # coordinates (grid ids + iotas) reproduce the identical mask in
+        # the XLA backward recompute — nothing is stored.
+        bh = jnp.uint32(pl.program_id(0))
+        qpos_u = (q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 0)).astype(jnp.uint32)
+        kpos_u = jax.lax.broadcasted_iota(jnp.uint32, (block_q, S), 1)
+        keep = dropout_keep(bh, qpos_u, kpos_u, seed_ref[0, 0], dropout_rate)
+        w = jnp.where(keep, w, 0.0) * (1.0 / (1.0 - dropout_rate))
+    w = w.astype(v_ref.dtype)
     o_ref[:] = jnp.dot(w, v_ref[:], preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "interpret", "causal", "window")
+    jax.jit,
+    static_argnames=("scale", "block_q", "interpret", "causal", "window",
+                     "dropout_rate"),
 )
-def _flash_call(q, k, v, bias, scale, block_q, interpret, causal=False, window=0):
+def _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
+                causal=False, window=0, dropout_rate=0.0):
     B, Tq, H, D = q.shape
     S = k.shape[1]
     # Lay out (B*H) on the leading grid axis; per head: (Tq, D) x (S, D).
@@ -89,12 +158,13 @@ def _flash_call(q, k, v, bias, scale, block_q, interpret, causal=False, window=0
     kh = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
     vh = v.transpose(0, 2, 1, 3).reshape(B * H, S, D)
     biash = jnp.broadcast_to(bias, (B, H, 1, S)).reshape(B * H, 1, S)
+    seed_arr = jnp.reshape(seed.astype(jnp.uint32), (1, 1))
 
     grid = (B * H, pl.cdiv(Tq, block_q))
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel, scale=scale, block_q=block_q,
-            causal=causal, window=window,
+            causal=causal, window=window, dropout_rate=dropout_rate,
         ),
         grid=grid,
         in_specs=[
@@ -102,38 +172,52 @@ def _flash_call(q, k, v, bias, scale, block_q, interpret, causal=False, window=0
             pl.BlockSpec((None, S, D), lambda h, i: (h, 0, 0)),
             pl.BlockSpec((None, S, D), lambda h, i: (h, 0, 0)),
             pl.BlockSpec((None, 1, S), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1), lambda h, i: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=pl.BlockSpec((None, block_q, D), lambda h, i: (h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
         interpret=interpret,
-    )(qh, kh, vh, biash)
+    )(qh, kh, vh, biash, seed_arr)
     return out.reshape(B, H, Tq, D).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, bias, scale, block_q, interpret, causal, window):
-    return _flash_call(q, k, v, bias, scale, block_q, interpret, causal, window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, bias, seed, scale, block_q, interpret, causal, window,
+           dropout_rate):
+    return _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
+                       causal, window, dropout_rate)
 
 
-def _flash_fwd(q, k, v, bias, scale, block_q, interpret, causal, window):
+def _flash_fwd(q, k, v, bias, seed, scale, block_q, interpret, causal,
+               window, dropout_rate):
     # Save only the inputs (flash-style): the backward recomputes the
     # softmax via the XLA reference path, whose VJP XLA fuses well. This
     # keeps the Pallas forward usable under jax.grad (pallas_call has no
     # autodiff rule) at the cost of one extra forward in the backward —
-    # the same trade jax.checkpoint makes.
-    out = _flash_call(q, k, v, bias, scale, block_q, interpret, causal, window)
-    return out, (q, k, v, bias)
+    # the same trade jax.checkpoint makes. Under dropout the recompute
+    # rebuilds the identical keep-mask from (seed, positions) via
+    # dropout_keep, so gradients flow through exactly the weights the
+    # forward kept.
+    out = _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
+                      causal, window, dropout_rate)
+    return out, (q, k, v, bias, seed)
 
 
-def _flash_bwd(scale, block_q, interpret, causal, window, res, g):
-    q, k, v, bias = res
+def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
+               res, g):
+    q, k, v, bias, seed = res
     _, vjp = jax.vjp(
         lambda q, k, v, bias: reference_attention(
-            q * scale, k, v, bias, causal=causal, window=window
+            q * scale, k, v, bias, causal=causal, window=window,
+            dropout_rate=dropout_rate, dropout_seed=seed,
         ),
         q, k, v, bias,
     )
-    return vjp(g)
+    dq, dk, dv, dbias = vjp(g)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, dbias, dseed
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -149,17 +233,25 @@ def flash_attention(
     interpret: bool = False,
     causal: bool = False,
     window: int = 0,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(B, Tq, H, D) attention with the full-KV-in-VMEM Pallas kernel.
     Scale defaults to D^-1/2 (pass 1.0 for pre-scaled queries).
     ``causal`` applies a position-causal mask (+ optional bounded left
     ``window``) computed from iotas inside the kernel — no dense (T, T)
     bias is materialized. Requires Tq == Tk (self-attention).
-    Differentiable: backward recomputes via the XLA reference path."""
+    ``dropout_rate`` applies attention-weight dropout via the in-kernel
+    counter-based hash (``dropout_keep``); ``dropout_seed`` is a uint32
+    scalar varied per call/layer by the caller.
+    Differentiable: backward recomputes via the XLA reference path (with
+    the identical hash mask under dropout)."""
     B, Tq, H, D = q.shape
     S = k.shape[1]
     if causal and Tq != S:
         raise ValueError("causal flash attention requires Tq == Tk")
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
     scale = D**-0.5 if scale is None else scale
     if key_padding_mask is not None:
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
@@ -167,7 +259,10 @@ def flash_attention(
     else:
         bias = jnp.zeros((B, 1, 1, S), jnp.float32)
     block_q = min(block_q, max(Tq, 8))
-    return _flash(q, k, v, bias, scale, block_q, interpret, causal, window)
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.uint32)
+    return _flash(q, k, v, bias, dropout_seed, scale, block_q, interpret,
+                  causal, window, float(dropout_rate))
 
 
 def attention(
@@ -178,6 +273,8 @@ def attention(
     use_pallas: Optional[bool] = None,
     causal: bool = False,
     window: int = 0,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ):
     """Dispatch: Pallas kernel on TPU for clean shapes, XLA otherwise."""
     B, Tq, H, D = q.shape
@@ -200,11 +297,13 @@ def attention(
                 "unset"
             )
         return flash_attention(
-            q, k, v, key_padding_mask, scale, causal=causal, window=window
+            q, k, v, key_padding_mask, scale, causal=causal, window=window,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
     scale = D**-0.5 if scale is None else scale
     if bias is None and key_padding_mask is not None:
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0)[:, None, None, :]
     return reference_attention(
-        q * scale, k, v, bias, causal=causal, window=window
+        q * scale, k, v, bias, causal=causal, window=window,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed,
     )

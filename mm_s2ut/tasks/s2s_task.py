@@ -108,7 +108,13 @@ class MultiModalSpeechToSpeechTask:
             self.cfg.model.multimodal.image_feat_dim
         )
         B, T, Tt = 2, 64, 8
-        feats = np.zeros((B, T, self.cfg.data.num_mel_bins), np.float32)
+        if self.cfg.model.speech_encoder_type != "conv_transformer":
+            # wav2vec2/mHuBERT branches take raw waveforms; the dummy must
+            # survive the conv stack (strides product ~320 samples/frame).
+            T = 3200
+            feats = np.zeros((B, T), np.float32)
+        else:
+            feats = np.zeros((B, T, self.cfg.data.num_mel_bins), np.float32)
         lengths = np.full((B,), T, np.int32)
         prev = np.zeros((B, Tt), np.int32)
         mm = self.cfg.model.multimodal
@@ -160,7 +166,14 @@ class MultiModalSpeechToSpeechTask:
 
         from mm_s2ut.data.prefetch import prefetch
 
+        raw_input = self.cfg.model.speech_encoder_type != "conv_transformer"
         for batch in prefetch(host_batches(), depth=2):
+            if raw_input:
+                # wav2vec2/mHuBERT speech branches consume raw waveforms
+                # (reference forward_wav2vec2_multimodal,
+                # mm_s2s_transformer.py:308-376) — no fbank stage.
+                yield batch
+                continue
             feats, frame_lens = waveform_frontend(
                 jnp.asarray(batch["src_features"]),
                 jnp.asarray(batch["src_lengths"]),

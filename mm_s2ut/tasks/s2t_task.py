@@ -40,9 +40,27 @@ class MultiModalSpeechToTextTask(MultiModalSpeechToSpeechTask):
             )
         return self.datasets[split]
 
+    def init_params(self, model):
+        """Raw-waveform init batch (the XM model's wav2vec2 frontend
+        consumes audio samples, not fbank — the inherited S2S dummy is
+        (B, T, 80) mel features and traces a rank-3 'waveform')."""
+        mm = self.cfg.model.multimodal
+        n_imgs = len(mm.image_feat_path) or len(mm.image_feat_dim)
+        B, S, Tt = 2, 3200, 8
+        wavs = np.zeros((B, S), np.float32)
+        lengths = np.full((B,), S, np.int32)
+        prev = np.zeros((B, Tt), np.int32)
+        imgs = tuple(
+            np.zeros((B, 8, d), np.float32)
+            for d in mm.image_feat_dim[:n_imgs]
+        )
+        masks = tuple(np.zeros((B, 8), bool) for _ in imgs)
+        return model.init(self.root_key, wavs, lengths, prev, imgs, masks)
+
     def build_model(self, w2v_cfg: Optional[Wav2Vec2Config] = None):
         return MMXMTransformerModel(
-            self.cfg.model, w2v_cfg=w2v_cfg or Wav2Vec2Config()
+            self.cfg.model,
+            w2v_cfg=w2v_cfg or Wav2Vec2Config.from_args(self.cfg.model.w2v_args),
         )
 
     def batch_iterator(

@@ -28,10 +28,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_UNITS = 48
 WORDS = [chr(97 + u // 7) + chr(97 + u % 7) for u in range(N_UNITS)]
@@ -41,7 +44,8 @@ def units_to_text(units):
     return " ".join(WORDS[u] for u in units)
 
 
-def build_corpus(root: Path, rng, n_train=48, n_eval=8):
+def build_corpus(root: Path, rng, n_train=48, n_eval=8,
+                 speech_encoder="conv_transformer", raw_images=False):
     from mm_s2ut.config import (
         Config, DataConfig, GenerationConfig, MeshConfig, ModelConfig,
         MultimodalConfig, TrainConfig,
@@ -57,6 +61,26 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
     all_units = {}
     train_feats = rng.randn(n_train, 6, 16).astype(np.float32)
     np.save(feat_dir / "train.npy", train_feats)
+    if raw_images:
+        # flickr30k on-disk layout (reference ImageDataset / RawImageStore,
+        # data/image_store.py): {root}/flickr30k-images/*.jpg + per-split
+        # name lists; the dataset yields preprocessed PIXELS and the model
+        # runs the in-graph ViT (load_visual_extractor_type).
+        from PIL import Image
+
+        img_dir = root / "flickr30k-images"
+        img_dir.mkdir(exist_ok=True)
+        img_names = []
+        for i in range(n_train):
+            name = f"img{i}.jpg"
+            arr = rng.randint(0, 255, (48, 64, 3), np.uint8)
+            Image.fromarray(arr).save(img_dir / name)
+            img_names.append(name)
+        (root / "train.txt").write_text("\n".join(img_names) + "\n")
+        for split in ("valid", "test"):
+            (root / f"{split}.txt").write_text(
+                "\n".join(img_names[:n_eval]) + "\n"
+            )
     (root / "train").mkdir(exist_ok=True)
     train_rows = []
     for j in range(n_train):
@@ -113,16 +137,44 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
         lines = [units_to_text(all_units[(split, j)]) for j in range(n)]
         (refs / f"{split}.txt").write_text("\n".join(lines) + "\n")
 
+    if raw_images:
+        mm = MultimodalConfig(
+            image_feat_dim=[32],
+            multimodal_attention_type="selective_attention",
+            load_visual_extractor_type="vit_timm",
+            flickr30k_root=str(root),
+            image_input_size=32,
+            visual_extractor_args={
+                "embed_dim": 32, "depth": 1, "num_heads": 2,
+                "patch_size": 16,
+            },
+        )
+    else:
+        mm = MultimodalConfig(
+            image_feat_path=[str(feat_dir)], image_feat_dim=[16],
+            multimodal_attention_type="selective_attention",
+        )
+    w2v_args = {}
+    if speech_encoder != "conv_transformer":
+        # Tiny wav2vec2/mHuBERT speech branch (reference
+        # mm_s2s_transformer.py:408-462): raw waveforms in, stride
+        # product 160 samples/frame, hidden == encoder_embed_dim.
+        w2v_args = dict(
+            conv_dim=[32, 32, 32], conv_stride=[8, 5, 4],
+            conv_kernel=[10, 8, 4], hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=128, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4, hidden_dropout=0.0,
+            attention_dropout=0.0, mask_time_prob=0.0,
+        )
     cfg = Config(
         model=ModelConfig(
             encoder_embed_dim=64, encoder_ffn_embed_dim=128, encoder_layers=2,
             encoder_attention_heads=2, decoder_embed_dim=64,
             decoder_ffn_embed_dim=128, decoder_layers=2,
             decoder_attention_heads=2, conv_channels=32, dtype="float32",
-            multimodal=MultimodalConfig(
-                image_feat_path=[str(feat_dir)], image_feat_dim=[16],
-                multimodal_attention_type="selective_attention",
-            ),
+            speech_encoder_type=speech_encoder, w2v_args=w2v_args,
+            multimodal=mm,
         ),
         data=DataConfig(
             data_root=str(root), audio_root=str(root),
@@ -369,6 +421,15 @@ def main(argv=None):
                     choices=["bfloat16", "int8", "int4"],
                     help="decode KV-cache storage for the measured chain "
                     "(quality gate for the quantized decode paths)")
+    ap.add_argument("--speech-encoder", default="conv_transformer",
+                    choices=["conv_transformer", "hubert", "wav2vec2"],
+                    help="flagship speech branch under test (hubert and "
+                    "wav2vec2 share the Wav2Vec2Model graph; the reference "
+                    "distinguishes them by checkpoint format only)")
+    ap.add_argument("--raw-images", action="store_true",
+                    help="train/eval from on-disk jpgs through the in-graph "
+                    "ViT (load_visual_extractor_type) instead of "
+                    "precomputed feature blobs")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -378,7 +439,8 @@ def main(argv=None):
     rng = np.random.RandomState(0)
 
     print("== corpus ==", flush=True)
-    build_corpus(root, rng)
+    build_corpus(root, rng, speech_encoder=args.speech_encoder,
+                 raw_images=args.raw_images)
     build_vocoder(root)
 
     if not args.skip_train:

@@ -152,3 +152,76 @@ def test_causal_encoder_flash_flag_matches_folded_bias():
             np.asarray(out_a["encoder_out"]), np.asarray(out_b["encoder_out"]),
             atol=1e-5, rtol=1e-5,
         )
+
+
+def test_flash_dropout_matches_reference_mask():
+    """In-kernel hash dropout == reference-path hash dropout: both build
+    the keep-mask from (bh, qpos, kpos, seed) via dropout_keep, so the
+    Pallas tiles and the dense XLA recompute agree elementwise."""
+    B, T, S, H, D = 2, 64, 64, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    mask = jnp.zeros((B, S), bool).at[1, S // 2 :].set(True)
+    seed = jnp.asarray(12345, jnp.uint32)
+    got = np.asarray(flash_attention(
+        q, k, v, key_padding_mask=mask, interpret=True, block_q=16,
+        dropout_rate=0.3, dropout_seed=seed,
+    ))
+    bias = jnp.where(mask, NEG_INF, 0.0)[:, None, None, :]
+    want = np.asarray(reference_attention(
+        q * D**-0.5, k, v, bias, dropout_rate=0.3, dropout_seed=seed,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    # And it actually drops: deterministic run differs.
+    base = np.asarray(flash_attention(
+        q, k, v, key_padding_mask=mask, interpret=True, block_q=16,
+    ))
+    assert np.abs(got - base).max() > 1e-3
+
+
+def test_flash_dropout_keep_fraction_and_seed_variation():
+    from mm_s2ut.ops.attention import dropout_keep
+
+    bh = jnp.arange(4, dtype=jnp.uint32)[:, None, None]
+    qpos = jnp.arange(128, dtype=jnp.uint32)[None, :, None]
+    kpos = jnp.arange(128, dtype=jnp.uint32)[None, None, :]
+    keep1 = np.asarray(dropout_keep(bh, qpos, kpos, jnp.uint32(7), 0.25))
+    keep2 = np.asarray(dropout_keep(bh, qpos, kpos, jnp.uint32(8), 0.25))
+    assert abs(keep1.mean() - 0.75) < 0.01
+    assert abs(keep2.mean() - 0.75) < 0.01
+    # Different seeds give decorrelated masks.
+    agree = (keep1 == keep2).mean()
+    assert 0.5 < agree < 0.75  # ~= 0.75^2 + 0.25^2 = 0.625
+    # Mask varies across heads/rows (not a broadcast accident).
+    assert keep1.std(axis=0).max() > 0
+    assert keep1[0].std(axis=0).max() > 0
+
+
+def test_flash_dropout_grad_uses_same_mask():
+    """Backward recompute under dropout regenerates the identical mask:
+    grads of the flash path equal grads of the hash-dropout reference."""
+    B, T, S, H, D = 2, 32, 32, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, T, H, D))
+    seed = jnp.asarray(99, jnp.uint32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, interpret=True, block_q=16,
+            dropout_rate=0.2, dropout_seed=seed,
+        )
+        return (out * g).sum()
+
+    def loss_ref(q, k, v):
+        out = reference_attention(
+            q * D**-0.5, k, v, None, dropout_rate=0.2, dropout_seed=seed
+        )
+        return (out * g).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

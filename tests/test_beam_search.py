@@ -247,3 +247,46 @@ def test_int4_kv_cache_across_segment_growth():
     np.testing.assert_allclose(
         np.asarray(scores_q), np.asarray(scores_fp), atol=2e-1
     )
+
+
+def test_unit_generator_ensemble_decoding():
+    """Logit-ensemble decoding (fairseq load_model_ensemble semantics):
+    an ensemble of [p, p] is token- and score-identical to single-p
+    decode (mean of identical prob distributions), and a genuine 2-model
+    ensemble runs end-to-end and stays properly normalized."""
+    from mm_s2ut.config import GenerationConfig, ModelConfig, MultimodalConfig
+    from mm_s2ut.infer.generator import UnitGenerator
+    from mm_s2ut.models.mm_s2ut import MMS2UTModel
+
+    cfg = ModelConfig(
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        encoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, decoder_layers=1,
+        decoder_attention_heads=2, conv_channels=16, vocab_size=V,
+        dtype="float32",
+        multimodal=MultimodalConfig(multimodal_attention_type=None),
+    )
+    model = MMS2UTModel(cfg)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 32, 80).astype(np.float32)
+    lens = np.asarray([32, 24], np.int32)
+    p1 = model.init(
+        jax.random.PRNGKey(7), jnp.asarray(feats), jnp.asarray(lens),
+        jnp.zeros((2, 3), jnp.int32),
+    )
+    p2 = model.init(
+        jax.random.PRNGKey(8), jnp.asarray(feats), jnp.asarray(lens),
+        jnp.zeros((2, 3), jnp.int32),
+    )
+    gcfg = GenerationConfig(beam=2, max_len_a=0.0, max_len_b=8)
+
+    single = UnitGenerator(model, p1, gcfg).generate(feats, lens)
+    dup = UnitGenerator(model, [p1, p1], gcfg).generate(feats, lens)
+    for s, d in zip(single, dup):
+        for hs, hd in zip(s, d):
+            assert hs["tokens"] == hd["tokens"]
+            np.testing.assert_allclose(hs["score"], hd["score"], atol=1e-4)
+
+    mixed = UnitGenerator(model, [p1, p2], gcfg).generate(feats, lens)
+    assert len(mixed) == 2 and len(mixed[0]) == 2
+    assert all(np.isfinite(h["score"]) for hyps in mixed for h in hyps)
