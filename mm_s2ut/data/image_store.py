@@ -169,8 +169,12 @@ class RawImageStore:
         mean=None,
         std=None,
     ) -> "RawImageStore":
-        img_dir = os.path.join(str(flickr30k_root), SPLIT_IMG_DIR[split] + "-images")
-        txt = Path(flickr30k_root) / SPLIT_TXT[split]
+        # Unknown split names (synthetic/custom corpora) fall back to the
+        # flickr30k image dir and a literal "{split}.txt" list.
+        img_dir = os.path.join(
+            str(flickr30k_root), SPLIT_IMG_DIR.get(split, "flickr30k") + "-images"
+        )
+        txt = Path(flickr30k_root) / SPLIT_TXT.get(split, f"{split}.txt")
         if not txt.exists():
             raise FileNotFoundError(f"flickr30k caption list missing: {txt}")
         names = [l.strip() for l in txt.read_text().splitlines() if l.strip()]

@@ -77,8 +77,10 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8,
             Image.fromarray(arr).save(img_dir / name)
             img_names.append(name)
         (root / "train.txt").write_text("\n".join(img_names) + "\n")
-        for split in ("valid", "test"):
-            (root / f"{split}.txt").write_text(
+        # RawImageStore maps valid -> val.txt (flickr30k convention);
+        # unknown splits read a literal {split}.txt.
+        for list_name in ("val", "test"):
+            (root / f"{list_name}.txt").write_text(
                 "\n".join(img_names[:n_eval]) + "\n"
             )
     (root / "train").mkdir(exist_ok=True)

@@ -18,16 +18,17 @@ PROBE_B=128 PROBE_BEAM=10 PROBE_KV=int8 timeout 2400 \
 MM_BENCH_BATCH=256 MM_BENCH_SKIP_EXTRAS=1 timeout 3600 python bench.py \
   2>/tmp/tpu_session/bench256.log | tee /tmp/tpu_session/bench256.json
 
-# 4. Serving vs static on a mixed-length workload.
-SRV_SLOTS=64 timeout 5400 python benchmarks/bench_serving.py \
-  2>/tmp/tpu_session/serving.log | tee /tmp/tpu_session/serving.json
-
-# 5. Causal flash kernel: on-chip correctness + timing vs XLA.
+# 4. Causal flash kernel: on-chip correctness + timing vs XLA.
+# (serving + streaming benches now run inside bench.py extras, step 1.)
 timeout 1200 python scripts_dev/causal_tpu_probe.py \
   2>&1 | tee /tmp/tpu_session/causal.txt
 
-# 6. Streaming S2ST per-chunk latency.
-timeout 2400 python benchmarks/bench_streaming.py \
-  2>/tmp/tpu_session/stream.log | tee /tmp/tpu_session/stream.json
+# 5. Cold-start pair: prime the compile cache, then measure a fresh
+# process's wall-to-first-batch with the primed cache (VERDICT r3 #6).
+rm -rf /tmp/mm_s2ut_cold_cache
+timeout 3600 python scripts_dev/cold_start_probe.py prime \
+  2>&1 | tee /tmp/tpu_session/cold_prime.txt
+timeout 1800 python scripts_dev/cold_start_probe.py cold \
+  2>&1 | tee /tmp/tpu_session/cold.txt
 
 echo DONE
