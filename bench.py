@@ -122,10 +122,17 @@ def train_flops(B, T_frames, Tt, cfg, T_img=577, img_dim=768):
     return 3.0 * f
 
 
-def train_step_ms(model, cfg, B=8, steps=20):
-    """Marginal per-update time of the full jitted train step (fwd bf16 +
-    bwd + clip + Adam) at a training-like shape: B utterances of ~10 s
-    (T src frames post-fbank ≈ 1000), targets ~100 units."""
+def train_step_ms(model, cfg, B=8, steps=20, T_src=1000, Tt=100):
+    """Per-update time of the full train step (fwd bf16 + bwd + clip +
+    Adam) at a training-like shape: B utterances of ~10 s (T src frames
+    post-fbank ≈ 1000), targets ~100 units.
+
+    Measured as the marginal between TWO compiled ``lax.scan`` programs
+    (n_small vs n_big steps inside ONE jit each): per-dispatch host/relay
+    latency through the dev-tunnel TPU is 0.1-1 s with heavy jitter,
+    which corrupted the old Python-loop marginal badly enough to report
+    sub-FLOP-floor step times in either direction (round-4 bisect,
+    scripts_dev/train_bisect_probe.py)."""
     import time as _time
 
     import jax
@@ -137,7 +144,6 @@ def train_step_ms(model, cfg, B=8, steps=20):
     from mm_s2ut.train.trainer import TrainState, make_train_step
 
     rng = np.random.RandomState(0)
-    T_src, Tt = 1000, 100
     batch = {
         "src_features": rng.randn(B, T_src, 80).astype(np.float32),
         "src_lengths": np.full((B,), T_src, np.int32),
@@ -153,25 +159,38 @@ def train_step_ms(model, cfg, B=8, steps=20):
     tx = build_optimizer(TrainConfig(update_freq=1, warmup_updates=10))
     state = TrainState.create(params, tx)
     criterion = registry.get_criterion("speech_to_unit")
-    step_fn = jax.jit(
-        make_train_step(model, criterion, tx, {"label_smoothing": 0.2}),
-        donate_argnums=(0,),
-    )
+    step_fn = make_train_step(model, criterion, tx, {"label_smoothing": 0.2})
     batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
 
-    def run(n):
-        nonlocal state
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
+    def run_scan(state, batch, key, n):
+        def body(st, i):
+            st, m = step_fn(st, batch, jax.random.fold_in(key, i))
+            return st, m["loss"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(n))
+        return losses[-1]
+
+    n_small, n_big = 2, steps + 2
+    # Compile both programs, then paired two-point runs; min over reps
+    # guards against relay hiccups.
+    float(run_scan(state, batch, key, n_small))
+    float(run_scan(state, batch, key, n_big))
+
+    def timed(n):
         t0 = _time.perf_counter()
-        for _ in range(n):
-            state, metrics = step_fn(state, batch, key)
-        float(metrics["loss"])
+        float(run_scan(state, batch, key, n))
         return _time.perf_counter() - t0
 
-    run(2)  # compile + warm
-    t_small = min(run(2) for _ in range(2))
-    t_big = min(run(steps) for _ in range(2))
-    return (t_big - t_small) / (steps - 2) * 1e3
+    best = float("inf")
+    for _ in range(3):
+        t_s, t_b = timed(n_small), timed(n_big)
+        if t_b > t_s:
+            best = min(best, (t_b - t_s) / (n_big - n_small))
+    return best * 1e3
 
 
 def main():
