@@ -105,24 +105,28 @@ def reference_attention(
 def _attn_kernel(
     q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
     *, scale: float, block_q: int, causal: bool, window: int,
-    dropout_rate: float,
+    dropout_rate: float, nb: int,
 ):
-    # q: (block_q, D); k/v: (S, D); bias: (1, S) additive fp32;
-    # seed: (1, 1) uint32 in SMEM.  Inputs stay bf16 into the MXU (fp32
+    # q: (nb, block_q, D); k/v: (nb, S, D); bias: (nb, 1, S) additive
+    # fp32; seed: (1, 1) uint32 in SMEM.  ``nb`` batch·head rows per
+    # program: at short S (e.g. 256 post-subsample encoder rows) the
+    # one-head-per-program grid launches hundreds of tiny programs and
+    # the per-program overhead dominates — same finding as the round-3
+    # cross-decode kernel blocking.  Inputs stay bf16 into the MXU (fp32
     # accumulate via preferred_element_type); scale folds into the fp32
     # logits.
     logits = jax.lax.dot_general(
-        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+        q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (block_q, S)
+    )  # (nb, block_q, S)
     logits = logits * scale + bias_ref[:]
     S = logits.shape[-1]
     q0 = pl.program_id(1) * block_q
     if causal:
         # The causal/window mask is computed on the VPU from iotas — the
         # dense (B, 1, T, T) bias the XLA path materializes never exists.
-        qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 0)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 1)
+        qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (nb, block_q, S), 1)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (nb, block_q, S), 2)
         allowed = kpos <= qpos
         if window > 0:
             allowed = jnp.logical_and(allowed, kpos > qpos - window)
@@ -135,13 +139,21 @@ def _attn_kernel(
         # Attention-weight dropout from the counter-based hash: absolute
         # coordinates (grid ids + iotas) reproduce the identical mask in
         # the XLA backward recompute — nothing is stored.
-        bh = jnp.uint32(pl.program_id(0))
-        qpos_u = (q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, S), 0)).astype(jnp.uint32)
-        kpos_u = jax.lax.broadcasted_iota(jnp.uint32, (block_q, S), 1)
+        bh = (
+            jnp.uint32(pl.program_id(0) * nb)
+            + jax.lax.broadcasted_iota(jnp.uint32, (nb, block_q, S), 0)
+        )
+        qpos_u = (
+            q0 + jax.lax.broadcasted_iota(jnp.int32, (nb, block_q, S), 1)
+        ).astype(jnp.uint32)
+        kpos_u = jax.lax.broadcasted_iota(jnp.uint32, (nb, block_q, S), 2)
         keep = dropout_keep(bh, qpos_u, kpos_u, seed_ref[0, 0], dropout_rate)
         w = jnp.where(keep, w, 0.0) * (1.0 / (1.0 - dropout_rate))
     w = w.astype(v_ref.dtype)
-    o_ref[:] = jnp.dot(w, v_ref[:], preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    o_ref[:] = jax.lax.dot_general(
+        w, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -160,23 +172,34 @@ def _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
     biash = jnp.broadcast_to(bias, (B, H, 1, S)).reshape(B * H, 1, S)
     seed_arr = jnp.reshape(seed.astype(jnp.uint32), (1, 1))
 
-    grid = (B * H, pl.cdiv(Tq, block_q))
+    # Head-axis blocking: nb batch·head rows per program, VMEM-capped —
+    # q/k/v/bias tiles + two fp32 (block_q, S) intermediates per row.
+    per_row = (
+        (block_q * D + 2 * S * D) * q.dtype.itemsize
+        + S * (q.dtype.itemsize + 4)
+        + 2 * block_q * S * 4
+    )
+    nb = max(1, min(B * H, int(6e6) // max(per_row, 1)))
+    while (B * H) % nb:
+        nb -= 1
+
+    grid = ((B * H) // nb, pl.cdiv(Tq, block_q))
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel, scale=scale, block_q=block_q,
-            causal=causal, window=window, dropout_rate=dropout_rate,
+            causal=causal, window=window, dropout_rate=dropout_rate, nb=nb,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, D), lambda h, i: (h, i, 0)),
-            pl.BlockSpec((None, S, D), lambda h, i: (h, 0, 0)),
-            pl.BlockSpec((None, S, D), lambda h, i: (h, 0, 0)),
-            pl.BlockSpec((None, 1, S), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((nb, 1, S), lambda h, i: (h, 0, 0)),
             pl.BlockSpec(
                 (1, 1), lambda h, i: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda h, i: (h, i, 0)),
+        out_specs=pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
         interpret=interpret,
     )(qh, kh, vh, biash, seed_arr)

@@ -31,16 +31,23 @@ from mm_s2ut.train.optimizer import build_optimizer
 from mm_s2ut.train.trainer import TrainState, make_train_step
 
 
-def marginal_ms(fn, n_small=2, n_big=12, reps=2):
+def scan_marginal_ms(make_scan, n_small=2, n_big=22, reps=3):
+    """make_scan(n) -> callable() running n iterations inside ONE jit.
+    Times the marginal between the two compiled programs — per-dispatch
+    relay jitter (0.1-1 s) otherwise swamps ms-scale step times."""
+    f_s, f_b = make_scan(n_small), make_scan(n_big)
+    f_s()
+    f_b()  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn(n_small)
+        f_s()
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        fn(n_big)
+        f_b()
         t_b = time.perf_counter() - t0
-        best = min(best, (t_b - t_s) / (n_big - n_small))
+        if t_b > t_s:
+            best = min(best, (t_b - t_s) / (n_big - n_small))
     return best * 1e3
 
 
@@ -78,64 +85,66 @@ def main():
         l, _ = criterion(out, b, label_smoothing=0.2)
         return l
 
-    @jax.jit
-    def fwd(p, b, k):
-        return loss_fn(p, b, k, b["imgs_list"])
+    tx = build_optimizer(TrainConfig(update_freq=1, warmup_updates=10))
+    state0 = TrainState.create(params, tx)
+    step_fn = make_train_step(model, criterion, tx, {"label_smoothing": 0.2})
 
-    @jax.jit
-    def fwd_noimg(p, b, k):
-        return loss_fn(p, b, k, ())
+    from functools import partial
 
-    @jax.jit
-    def fwdbwd(p, b, k):
-        l, g = jax.value_and_grad(lambda pp: loss_fn(pp, b, k, b["imgs_list"]))(p)
-        return l, jax.tree_util.tree_reduce(
-            lambda a, x: a + x.sum(), g, jnp.zeros((), jnp.float32)
-        )
+    def scan_of(per_iter):
+        """per_iter(params, batch, key_i) -> scalar; scans n in one jit.
+        params/batch are jit ARGUMENTS — captured as constants they embed
+        280 MB in the HLO and blow the relay's compile-request limit."""
+        def make(n):
+            @jax.jit
+            def prog(p, b):
+                def body(c, i):
+                    return c + per_iter(p, b, jax.random.fold_in(key, i)), None
+                out, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+                return out
+            return lambda: jax.block_until_ready(prog(params, batch))
+        return make
 
-    @jax.jit
-    def enc(p, b, k):
+    fwd_iter = lambda p, b, k: loss_fn(p, b, k, b["imgs_list"])
+    fwd_noimg_iter = lambda p, b, k: loss_fn(p, b, k, ())
+
+    def enc_iter(p, b, k):
         out = model.apply(
-            p, b["src_features"], b["src_lengths"], b["imgs_list"],
-            b["img_masks_list"], None, deterministic=False,
+            p, b["src_features"], b["src_lengths"],
+            b["imgs_list"], b["img_masks_list"], None,
+            deterministic=False,
             rngs={"dropout": k, "modality": jax.random.fold_in(k, 7)},
             method=model.encode,
         )
-        return out["encoder_out"].sum()
+        return out["encoder_out"].astype(jnp.float32).sum()
 
-    tx = build_optimizer(TrainConfig(update_freq=1, warmup_updates=10))
-    state = TrainState.create(params, tx)
-    step_fn = jax.jit(make_train_step(model, criterion, tx, {"label_smoothing": 0.2}))
-    step_fn_don = jax.jit(
-        make_train_step(model, criterion, tx, {"label_smoothing": 0.2}),
-        donate_argnums=(0,),
-    )
+    def fwdbwd_iter(p, b, k):
+        l, g = jax.value_and_grad(
+            lambda pp: loss_fn(pp, b, k, b["imgs_list"])
+        )(p)
+        return l + jax.tree_util.tree_reduce(
+            lambda a, x: a + x.astype(jnp.float32).sum(), g,
+            jnp.zeros((), jnp.float32),
+        )
 
-    def run_simple(fn):
-        def go(n):
-            out = None
-            for i in range(n):
-                out = fn(params, batch, jax.random.fold_in(key, i))
-            jax.block_until_ready(out)
-        go(1)  # compile
-        return marginal_ms(go)
+    def make_full(n):
+        @jax.jit
+        def prog(st, b):
+            def body(s, i):
+                s, m = step_fn(s, b, jax.random.fold_in(key, i))
+                return s, m["loss"]
+            _, losses = jax.lax.scan(body, st, jnp.arange(n))
+            return losses[-1]
+        return lambda: jax.block_until_ready(prog(state0, batch))
 
-    def make_run_full(fn):
-        def run_full(n):
-            nonlocal state
-            m = None
-            for _ in range(n):
-                state, m = fn(state, batch, key)
-            jax.block_until_ready(m["loss"])
-        return run_full
-
-    for tag, fn in (("fwd", fwd), ("fwd_noimg", fwd_noimg),
-                    ("enc", enc), ("fwdbwd", fwdbwd)):
-        print(f"{tag:10s} {run_simple(fn):8.2f} ms", flush=True)
-    for tag, fn in (("full", step_fn), ("full_donate", step_fn_don)):
-        r = make_run_full(fn)
-        r(1)
-        print(f"{tag:12s} {marginal_ms(r, n_big=22):8.2f} ms", flush=True)
+    for tag, mk in (
+        ("fwd", scan_of(fwd_iter)),
+        ("fwd_noimg", scan_of(fwd_noimg_iter)),
+        ("enc", scan_of(enc_iter)),
+        ("fwdbwd", scan_of(fwdbwd_iter)),
+        ("full", make_full),
+    ):
+        print(f"{tag:10s} {scan_marginal_ms(mk):8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
