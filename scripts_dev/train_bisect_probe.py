@@ -91,15 +91,17 @@ def main():
 
     from functools import partial
 
-    def scan_of(per_iter):
+    def scan_of(per_iter, base_key=None):
         """per_iter(params, batch, key_i) -> scalar; scans n in one jit.
         params/batch are jit ARGUMENTS — captured as constants they embed
         280 MB in the HLO and blow the relay's compile-request limit."""
+        bk = key if base_key is None else base_key
+
         def make(n):
             @jax.jit
             def prog(p, b):
                 def body(c, i):
-                    return c + per_iter(p, b, jax.random.fold_in(key, i)), None
+                    return c + per_iter(p, b, jax.random.fold_in(bk, i)), None
                 out, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
                 return out
             return lambda: jax.block_until_ready(prog(params, batch))
@@ -117,6 +119,18 @@ def main():
             method=model.encode,
         )
         return out["encoder_out"].astype(jnp.float32).sum()
+
+    def enc_det_iter(p, b, k):
+        out = model.apply(
+            p, b["src_features"], b["src_lengths"],
+            b["imgs_list"], b["img_masks_list"], None,
+            deterministic=True, method=model.encode,
+        )
+        # Keep a key dependency so the scan can't hoist the iteration.
+        return out["encoder_out"].astype(jnp.float32).sum() + (
+            jax.random.uniform(k, ()) * 0.0
+        )
+
 
     def fwdbwd_iter(p, b, k):
         l, g = jax.value_and_grad(
@@ -137,11 +151,15 @@ def main():
             return losses[-1]
         return lambda: jax.block_until_ready(prog(state0, batch))
 
+    key_rbg = jax.random.key(1, impl="rbg")
     for tag, mk in (
         ("fwd", scan_of(fwd_iter)),
+        ("fwd_rbg", scan_of(fwd_iter, base_key=key_rbg)),
         ("fwd_noimg", scan_of(fwd_noimg_iter)),
         ("enc", scan_of(enc_iter)),
+        ("enc_det", scan_of(enc_det_iter)),
         ("fwdbwd", scan_of(fwdbwd_iter)),
+        ("fwdbwd_rbg", scan_of(fwdbwd_iter, base_key=key_rbg)),
         ("full", make_full),
     ):
         print(f"{tag:10s} {scan_marginal_ms(mk):8.2f} ms", flush=True)
