@@ -206,6 +206,170 @@ def _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
     return out.reshape(B, H, Tq, D).transpose(0, 2, 1, 3)
 
 
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref,
+    *, scale: float, block_q: int, causal: bool, window: int,
+    dropout_rate: float, nb: int, tq: int,
+):
+    """Fused attention backward, one pass: recomputes the softmax from
+    the saved inputs (full K/V resident — no online-softmax state), then
+      dP  = dO · Vᵀ            dW = dP ⊙ M/(1−p)
+      dS  = W ⊙ (dW − Σₖ dW W)   (softmax VJP, pre-dropout W)
+      dQ  = scale · dS · K       (written per (h, i) block)
+      dK  = scale · dSᵀ · Q      (accumulated over q-blocks)
+      dV  = (W ⊙ M/(1−p))ᵀ · dO  (accumulated)
+      dbias = Σ_q dS             (accumulated)
+    The dropout mask M is regenerated from the same counter-based hash
+    as the forward — bit-identical, nothing was stored. The (T, T)
+    logits of the XLA recompute path never touch HBM."""
+    i = pl.program_id(1)
+    logits = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (nb, block_q, S)
+    logits = logits * scale + bias_ref[:]
+    S = logits.shape[-1]
+    q0 = i * block_q
+    qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (nb, block_q, S), 1)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (nb, block_q, S), 2)
+    if causal:
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        logits = jnp.where(allowed, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    w = p / jnp.sum(p, axis=-1, keepdims=True)
+    # Rows past Tq are block padding: their recomputed w / garbage dO
+    # must not leak into the accumulated dK/dV/dbias.
+    w = jnp.where(qpos < tq, w, 0.0)
+
+    if dropout_rate > 0.0:
+        bh = (
+            jnp.uint32(pl.program_id(0) * nb)
+            + jax.lax.broadcasted_iota(jnp.uint32, (nb, block_q, S), 0)
+        )
+        keep = dropout_keep(
+            bh, qpos.astype(jnp.uint32), kpos.astype(jnp.uint32),
+            seed_ref[0, 0], dropout_rate,
+        )
+        mscale = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
+    else:
+        mscale = None
+
+    # Padded q-rows read unspecified q/dO (NaN in interpret mode); w is
+    # already zeroed there, but 0 · NaN = NaN in every contraction that
+    # touches them — zero the rows themselves.
+    rowvalid = (
+        q0 + jax.lax.broadcasted_iota(jnp.int32, (nb, block_q, 1), 1)
+    ) < tq
+    do_ = jnp.where(rowvalid, do_ref[:].astype(jnp.float32), 0.0)
+    qz = jnp.where(rowvalid, q_ref[:].astype(jnp.float32), 0.0)
+    dP = jax.lax.dot_general(
+        do_, v_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (nb, block_q, S)
+    dP = jnp.where(qpos < tq, dP, 0.0)
+    dW = dP * mscale if mscale is not None else dP
+    dS = w * (dW - jnp.sum(dW * w, axis=-1, keepdims=True))
+    wd = w * mscale if mscale is not None else w
+
+    dq = jax.lax.dot_general(
+        dS, k_ref[:].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+
+    dk_new = jax.lax.dot_general(
+        dS, qz, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (nb, S, D)
+    dv_new = jax.lax.dot_general(
+        wd, do_, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (nb, S, D)
+    dbias_new = jnp.sum(dS, axis=1, keepdims=True)  # (nb, 1, S)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    dk_ref[:] = dk_ref[:] + dk_new
+    dv_ref[:] = dv_ref[:] + dv_new
+    dbias_ref[:] = dbias_ref[:] + dbias_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "interpret", "causal", "window",
+                     "dropout_rate"),
+)
+def _flash_bwd_call(q, k, v, bias, seed, g, scale, block_q, interpret,
+                    causal, window, dropout_rate):
+    B, Tq, H, D = q.shape
+    S = k.shape[1]
+    qh = q.transpose(0, 2, 1, 3).reshape(B * H, Tq, D)
+    kh = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+    vh = v.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+    gh = g.transpose(0, 2, 1, 3).reshape(B * H, Tq, D)
+    biash = jnp.broadcast_to(bias, (B, H, 1, S)).reshape(B * H, 1, S)
+    seed_arr = jnp.reshape(seed.astype(jnp.uint32), (1, 1))
+
+    # VMEM cap: q/dO/dq tiles + k/v + f32 dK/dV accumulators + four
+    # (block_q, S) f32 intermediates per row.
+    per_row = (
+        (3 * block_q * D + 2 * S * D) * q.dtype.itemsize
+        + 2 * S * D * 4 + 4 * block_q * S * 4 + S * 8
+    )
+    nb = max(1, min(B * H, int(6e6) // max(per_row, 1)))
+    while (B * H) % nb:
+        nb -= 1
+
+    grid = ((B * H) // nb, pl.cdiv(Tq, block_q))
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, scale=scale, block_q=block_q, causal=causal,
+            window=window, dropout_rate=dropout_rate, nb=nb, tq=Tq,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((nb, 1, S), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1), lambda h, i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((nb, 1, S), lambda h, i: (h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, 1, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, biash, seed_arr, gh)
+    dq = dq.reshape(B, H, Tq, D).transpose(0, 2, 1, 3)
+    dk = dk.reshape(B, H, S, D).transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv.reshape(B, H, S, D).transpose(0, 2, 1, 3).astype(v.dtype)
+    # bias primal is (B, 1|H, 1, S) broadcast over heads/rows: reduce the
+    # per-head sums back to the primal shape.
+    dbias = dbias.reshape(B, H, 1, S)
+    if bias.shape[1] == 1:
+        dbias = dbias.sum(axis=1, keepdims=True)
+    return dq, dk, dv, dbias.astype(bias.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash(q, k, v, bias, seed, scale, block_q, interpret, causal, window,
            dropout_rate):
@@ -231,6 +395,17 @@ def _flash_fwd(q, k, v, bias, seed, scale, block_q, interpret, causal,
 def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
                res, g):
     q, k, v, bias, seed = res
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    if interpret or on_tpu:
+        # Fused Pallas backward: recompute softmax per tile + the four
+        # VJP matmuls in one pass — the (T, T) logits of the XLA
+        # recompute path never touch HBM.
+        dq, dk, dv, dbias = _flash_bwd_call(
+            q, k, v, bias, seed, g, scale, block_q, interpret,
+            causal, window, dropout_rate,
+        )
+        return dq, dk, dv, dbias, dseed
     _, vjp = jax.vjp(
         lambda q, k, v, bias: reference_attention(
             q * scale, k, v, bias, causal=causal, window=window,
@@ -239,7 +414,6 @@ def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
         q, k, v, bias,
     )
     dq, dk, dv, dbias = vjp(g)
-    dseed = np.zeros(seed.shape, jax.dtypes.float0)
     return dq, dk, dv, dbias, dseed
 
 

@@ -225,3 +225,29 @@ def test_flash_dropout_grad_uses_same_mask():
     want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bwd_ragged_qlen_rows_masked():
+    """Tq not a block multiple: the bwd kernel's padded q-rows must not
+    leak garbage into the accumulated dK/dV (row-validity mask)."""
+    B, T, S, H, D = 2, 40, 48, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    mask = jnp.zeros((B, S), bool).at[1, S // 2 :].set(True)
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, T, H, D))
+    bias = jnp.where(mask, NEG_INF, 0.0)[:, None, None, :]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, key_padding_mask=mask, interpret=True, block_q=16
+        )
+        return (out * g).sum()
+
+    def loss_ref(q, k, v):
+        return (reference_attention(q * D**-0.5, k, v, bias) * g).sum()
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

@@ -18,7 +18,7 @@ V, EOS, BOS, PAD = 40, 2, 2, 1
 K, MAX_LEN = 2, 12
 
 
-def _model():
+def _model(sharpen=True):
     cfg = ModelConfig(
         encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
         encoder_attention_heads=2, decoder_embed_dim=32,
@@ -34,6 +34,17 @@ def _model():
         jax.random.PRNGKey(7), feats, jnp.full((1,), 32, jnp.int32),
         jnp.zeros((1, 3), jnp.int32),
     )
+    if sharpen:
+        # Sharpen the (shared in/out) unit embedding: the server's chunked
+        # program and the offline search are DIFFERENT compiled programs,
+        # so random-weight near-tie argmaxes can legitimately flip on f32
+        # fusion/rounding differences (observed once as an order-dependent
+        # suite flake). 3x logit separation makes the equality assertions
+        # test scheduling, not tie-breaking. Tests that NEED near-uniform
+        # logits (budget/forced-EOS behavior) pass sharpen=False.
+        emb = params["params"]["decoder"]["embed"]["embed_tokens"]["embedding"]
+        params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+        params["params"]["decoder"]["embed"]["embed_tokens"]["embedding"] = emb * 3.0
     return model, params
 
 
@@ -326,7 +337,7 @@ def test_slot_budget_uses_raw_source_frames():
     """max_len_a applies to RAW source frames (Request.length), matching
     the offline UnitGenerator's rule — regression: the budget was computed
     from the 4x conv-subsampled encoder mask, forcing EOS ~4x early."""
-    model, params = _model()
+    model, params = _model(sharpen=False)
     rng = np.random.RandomState(7)
     # Budgets: 0.25·32 = 8 and 0.25·48 = 12 decode steps.
     reqs = [
