@@ -440,7 +440,9 @@ def main():
                 if rec.get("metric") == "stream_chunk_p50_ms":
                     extra["stream_chunk_p50_ms"] = rec["value"]
                     ex = rec.get("extras", {})
-                    for k in ("p95_ms", "p99_ms", "chunk_ms", "realtime_ok"):
+                    for k in ("p95_ms", "p99_ms", "chunk_ms", "realtime_ok",
+                              "beam1_p50_ms", "beam1_p95_ms",
+                              "beam1_realtime_ok"):
                         if k in ex:
                             extra[f"stream_{k}"] = ex[k]
         except Exception as e:

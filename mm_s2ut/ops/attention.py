@@ -397,7 +397,18 @@ def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
     q, k, v, bias, seed = res
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-    if interpret or on_tpu:
+    # Measured on v5e (DESIGN.md round 4): the XLA dense recompute+VJP
+    # fuses well enough that the fused Pallas backward is a slight LOSS
+    # at both the common shape (11.6 vs 11.1 ms/step at S=256) and the
+    # long-source shape (15.1 vs 14.8 at S=1000) — XLA hides the (T, T)
+    # HBM round trips behind the surrounding GEMMs at these sizes.
+    # Recorded negative result; the kernel stays as an opt-in
+    # (MM_FLASH_BWD=pallas) for memory-bound regimes and remains the
+    # interpret-mode test target.
+    import os as _os
+
+    use_kernel = _os.environ.get("MM_FLASH_BWD", "") == "pallas"
+    if interpret or (on_tpu and use_kernel):
         # Fused Pallas backward: recompute softmax per tile + the four
         # VJP matmuls in one pass — the (T, T) logits of the XLA
         # recompute path never touch HBM.
