@@ -397,6 +397,16 @@ def main():
             100 * train_flops(8, 1000, 100, cfg) / (t_ms / 1e3) / PEAK_BF16_FLOPS,
             2,
         )
+        # Long-source point: the reference caps sources at
+        # --max-source-positions 4000 (1000 encoder rows post-subsample);
+        # same max-tokens budget, B=2 x T=4000.
+        _log("train bench long-source")
+        t_ms_l = train_step_ms(model, cfg, B=2, T_src=4000, Tt=200)
+        extra["train_long_ms"] = round(t_ms_l, 3)
+        extra["train_long_mfu_pct"] = round(
+            100 * train_flops(2, 4000, 200, cfg) / (t_ms_l / 1e3) / PEAK_BF16_FLOPS,
+            2,
+        )
         # Serving + streaming headline numbers in the driver artifact
         # (VERDICT r3 weak #6): run the dedicated benchmarks in-process
         # (the TPU is single-client here — a subprocess could not attach)
