@@ -187,12 +187,25 @@ def train_step_ms(model, cfg, B=8, steps=20, T_src=1000, Tt=100):
         float(run_scan(state, batch, key, n))
         return _time.perf_counter() - t0
 
+    return two_point_marginal(timed, n_small, n_big) * 1e3
+
+
+def two_point_marginal(timed, n_small, n_big, reps=3):
+    """min over reps of (t(n_big) − t(n_small)) / (n_big − n_small),
+    ignoring jitter-inverted pairs. If EVERY pair inverts (relay noise ≫
+    the work delta), fall back to the finite upper bound t(n_big)/n_big
+    instead of returning inf — a too-slow answer is honest, an Infinity
+    in the bench JSON is not."""
     best = float("inf")
-    for _ in range(3):
+    t_b_last = None
+    for _ in range(reps):
         t_s, t_b = timed(n_small), timed(n_big)
+        t_b_last = t_b
         if t_b > t_s:
             best = min(best, (t_b - t_s) / (n_big - n_small))
-    return best * 1e3
+    if best == float("inf"):
+        best = t_b_last / n_big
+    return best
 
 
 def main():

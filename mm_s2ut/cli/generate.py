@@ -45,7 +45,31 @@ def main(argv: Optional[List[str]] = None) -> int:
         # reference mm_s2s_transformer.py:229): all checkpoints must share
         # the architecture of the first; UnitGenerator averages per-step
         # probabilities across them.
-        params = [params] + [load_checkpoint(p)[2] for p in paths[1:]]
+        params = [params]
+        for p in paths[1:]:
+            cfg_i, _, params_i = load_checkpoint(p)
+            mismatches = [
+                f"{name}: {a} vs {b}"
+                for name, a, b in (
+                    ("task", cfg.task, cfg_i.task),
+                    ("vocab_size", cfg.model.vocab_size, cfg_i.model.vocab_size),
+                    ("decoder_embed_dim", cfg.model.decoder_embed_dim,
+                     cfg_i.model.decoder_embed_dim),
+                    ("decoder_layers", cfg.model.decoder_layers,
+                     cfg_i.model.decoder_layers),
+                    ("encoder_embed_dim", cfg.model.encoder_embed_dim,
+                     cfg_i.model.encoder_embed_dim),
+                )
+                if a != b
+            ]
+            if mismatches:
+                # Coinciding shapes with different semantics would decode
+                # a meaningless probability average; fail fast instead.
+                raise ValueError(
+                    f"ensemble member {p} is incompatible with {paths[0]}: "
+                    + "; ".join(mismatches)
+                )
+            params.append(params_i)
     if args.beam:
         cfg.generation.beam = args.beam
     if args.max_len_a is not None:

@@ -83,11 +83,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         g = cfg.generation
         t = time.perf_counter()
+        # Use the REAL generation budget and size the ring to it — a
+        # clamped budget compiles a program the production server would
+        # never request, making the priming useless.
+        ring = int(2 ** np.ceil(np.log2(max(g.max_len_b + 2, 8))))
         srv = ContinuousServer(
             model, params, slots=args.slots, beam_size=g.beam,
-            ring=256, chunk=args.chunk, enc_frames=args.max_frames,
+            ring=ring, chunk=args.chunk, enc_frames=args.max_frames,
             vocab_size=cfg.model.vocab_size, len_penalty=g.len_penalty,
-            max_len_a=g.max_len_a, max_len_b=min(g.max_len_b, 200),
+            max_len_a=g.max_len_a, max_len_b=g.max_len_b,
             kv_cache_dtype=g.kv_cache_dtype,
         )
         srv.run([

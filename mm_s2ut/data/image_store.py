@@ -105,8 +105,11 @@ class ImageFeatureStore:
                 break
         img_path_list, img_dir = None, None
         if flickr30k_root:
-            img_dir = os.path.join(flickr30k_root, SPLIT_IMG_DIR[split] + "-images")
-            txt = Path(flickr30k_root) / SPLIT_TXT[split]
+            # Same unknown-split fallback as RawImageStore.for_split.
+            img_dir = os.path.join(
+                flickr30k_root, SPLIT_IMG_DIR.get(split, "flickr30k") + "-images"
+            )
+            txt = Path(flickr30k_root) / SPLIT_TXT.get(split, f"{split}.txt")
             if txt.exists():
                 img_path_list = [l.strip() for l in txt.read_text().splitlines() if l.strip()]
         return cls(feat_path, mask_path, img_path_list, img_dir)

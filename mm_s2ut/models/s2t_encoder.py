@@ -81,7 +81,9 @@ class SpeechTransformerEncoder(nn.Module):
         )(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
-        if self.use_flash and jax.devices()[0].platform not in ("cpu", "gpu"):
+        from mm_s2ut.ops.attention import on_tpu
+
+        if self.use_flash and on_tpu():
             # The fused kernel wants sublane-aligned sequence lengths
             # (ops/attention.py gates on S % 8 == 0); bucketed batches
             # arrive at T/4 rows that are typically only even (the

@@ -24,6 +24,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+
+def on_tpu() -> bool:
+    """Trace-time platform check shared by the kernel dispatch sites
+    (fwd dispatcher, bwd gate, encoder pad-to-sublane) — one predicate so
+    a future platform decision edits one line."""
+    return jax.devices()[0].platform not in ("cpu", "gpu")
+
+
 # Counter-based dropout hash (attention-weight dropout inside the fused
 # kernel): the keep/drop decision for weight (bh, q, k) is a pure integer
 # mix of its absolute coordinates and a per-call seed, so the Pallas
@@ -86,7 +94,12 @@ def reference_attention(
             allowed = jnp.logical_and(allowed, kpos > qpos - window)
         logits = jnp.where(allowed[None, None], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    if dropout_rate > 0.0 and dropout_seed is not None:
+    if dropout_rate > 0.0 and dropout_seed is None:
+        # Mirror flash_attention: silently training WITHOUT attention
+        # dropout on the fallback path would make regularization
+        # platform/shape-dependent.
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_rate > 0.0:
         B, Tq, H, _ = q.shape
         S = k.shape[1]
         bh = (jnp.arange(B)[:, None] * H + jnp.arange(H)[None, :]).astype(jnp.uint32)
@@ -396,7 +409,6 @@ def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
                res, g):
     q, k, v, bias, seed = res
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
-    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
     # Measured on v5e (DESIGN.md round 4): the XLA dense recompute+VJP
     # fuses well enough that the fused Pallas backward is a slight LOSS
     # at both the common shape (11.6 vs 11.1 ms/step at S=256) and the
@@ -408,7 +420,7 @@ def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
     import os as _os
 
     use_kernel = _os.environ.get("MM_FLASH_BWD", "") == "pallas"
-    if interpret or (on_tpu and use_kernel):
+    if interpret or (on_tpu() and use_kernel):
         # Fused Pallas backward: recompute softmax per tile + the four
         # VJP matmuls in one pass — the (T, T) logits of the XLA
         # recompute path never touch HBM.
@@ -488,9 +500,8 @@ def attention(
     B, Tq, H, D = q.shape
     S = k.shape[1]
     if use_pallas is None:
-        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
         use_pallas = (
-            on_tpu and bias is None and D % 8 == 0 and S % 8 == 0 and Tq >= 8
+            on_tpu() and bias is None and D % 8 == 0 and S % 8 == 0 and Tq >= 8
             and (not causal or Tq == S)
         )
     if use_pallas:

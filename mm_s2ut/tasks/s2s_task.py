@@ -172,6 +172,22 @@ class MultiModalSpeechToSpeechTask:
                 # wav2vec2/mHuBERT speech branches consume raw waveforms
                 # (reference forward_wav2vec2_multimodal,
                 # mm_s2s_transformer.py:308-376) — no fbank stage.
+                # standardize_audio still applies (the fairseq
+                # wav2vec2-large recipe normalizes raw waveforms
+                # per-utterance; silently dropping the flag here would
+                # make it frontend-dependent).
+                if data.standardize_audio:
+                    wavs = batch["src_features"]
+                    lens = batch["src_lengths"]
+                    valid = (
+                        np.arange(wavs.shape[1])[None, :] < lens[:, None]
+                    )
+                    n = np.maximum(lens.astype(np.float64), 1)[:, None]
+                    mean = (wavs * valid).sum(1, keepdims=True) / n
+                    var = (((wavs - mean) * valid) ** 2).sum(1, keepdims=True) / n
+                    batch["src_features"] = (
+                        (wavs - mean) / np.sqrt(var + 1e-7) * valid
+                    ).astype(np.float32)
                 yield batch
                 continue
             feats, frame_lens = waveform_frontend(

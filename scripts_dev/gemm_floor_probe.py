@@ -26,20 +26,18 @@ ROWS, D, F, L = 2000, 512, 2048, 12
 
 
 def marginal(make, n_small=20, n_big=220, reps=3):
-    f_s, f_b = make(n_small), make(n_big)
-    f_s()
-    f_b()
-    best = float("inf")
-    for _ in range(reps):
+    from bench import two_point_marginal
+
+    fns = {n_small: make(n_small), n_big: make(n_big)}
+    fns[n_small]()
+    fns[n_big]()
+
+    def timed(n):
         t0 = time.perf_counter()
-        f_s()
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        f_b()
-        tb = time.perf_counter() - t0
-        if tb > ts:
-            best = min(best, (tb - ts) / (n_big - n_small))
-    return best
+        fns[n]()
+        return time.perf_counter() - t0
+
+    return two_point_marginal(timed, n_small, n_big, reps)
 
 
 def main():

@@ -35,20 +35,18 @@ def scan_marginal_ms(make_scan, n_small=2, n_big=22, reps=3):
     """make_scan(n) -> callable() running n iterations inside ONE jit.
     Times the marginal between the two compiled programs — per-dispatch
     relay jitter (0.1-1 s) otherwise swamps ms-scale step times."""
-    f_s, f_b = make_scan(n_small), make_scan(n_big)
-    f_s()
-    f_b()  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
+    from bench import two_point_marginal
+
+    fns = {n_small: make_scan(n_small), n_big: make_scan(n_big)}
+    fns[n_small]()
+    fns[n_big]()  # compile + warm
+
+    def timed(n):
         t0 = time.perf_counter()
-        f_s()
-        t_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        f_b()
-        t_b = time.perf_counter() - t0
-        if t_b > t_s:
-            best = min(best, (t_b - t_s) / (n_big - n_small))
-    return best * 1e3
+        fns[n]()
+        return time.perf_counter() - t0
+
+    return two_point_marginal(timed, n_small, n_big, reps) * 1e3
 
 
 def main():
