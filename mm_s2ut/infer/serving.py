@@ -418,8 +418,15 @@ class ContinuousServer:
             state, done = self._decode_chunk(self.params, state)
             done = np.asarray(done)
             if done.any():
-                fin_seq = np.asarray(state["fin_seq"])
-                fin_scores = np.asarray(state["fin_scores"])
+                # Gather ONLY the finished slots' top hypotheses on
+                # device before fetching: the full (B, K, ring) buffer is
+                # ~640 KB at slots=64 and rides the dev-tunnel on most
+                # chunks of a mixed-length workload; the gathered rows
+                # are a few KB.
+                idx = np.nonzero(done)[0]
+                idx_dev = jnp.asarray(idx)
+                fin_seq = np.asarray(state["fin_seq"][idx_dev, 0])
+                fin_scores = np.asarray(state["fin_scores"][idx_dev, 0])
                 deact = jnp.asarray(done)
                 state = {
                     **state,
@@ -429,15 +436,16 @@ class ContinuousServer:
                         deact[:, None], NEG_INF, state["alive_logp"]
                     ),
                 }
-                for b in range(self.B):
-                    if done[b] and slot_uid[b] is not None:
-                        toks = [int(t) for t in fin_seq[b, 0]]
-                        # strip BOS, cut at EOS
-                        toks = toks[1:]
-                        if self.eos in toks:
-                            toks = toks[: toks.index(self.eos)]
-                        results.append(
-                            Result(slot_uid[b], toks, float(fin_scores[b, 0]))
-                        )
-                        slot_uid[b] = None
+                for j, b in enumerate(idx):
+                    if slot_uid[b] is None:
+                        continue
+                    toks = [int(t) for t in fin_seq[j]]
+                    # strip BOS, cut at EOS
+                    toks = toks[1:]
+                    if self.eos in toks:
+                        toks = toks[: toks.index(self.eos)]
+                    results.append(
+                        Result(slot_uid[b], toks, float(fin_scores[j]))
+                    )
+                    slot_uid[b] = None
         return results
