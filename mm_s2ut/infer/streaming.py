@@ -374,6 +374,7 @@ class StreamingS2ST:
         bos_id: int = 2,
         pad_id: int = 1,
         unk_id: int = 3,
+        decode_every: int = 1,
     ):
         from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
 
@@ -395,6 +396,8 @@ class StreamingS2ST:
             )
         self.model, self.params = model, params
         self.beam, self.max_len = beam, max_len
+        self.decode_every = decode_every
+        self._feeds = 0
         enc_params = {"params": params["params"]["encoder"]}
         self.enc = StreamingEncoderSession(
             enc_params, batch=1, chunk_frames=chunk_frames,
@@ -460,8 +463,18 @@ class StreamingS2ST:
 
     def feed(self, chunk: np.ndarray) -> List[int]:
         """(1, T ≤ chunk_frames, 80) → newly COMMITTED units (may be
-        empty). The last feed of a stream may be short."""
+        empty). The last feed of a stream may be short.
+
+        With ``decode_every=N`` > 1, only every Nth feed runs the
+        re-translation search (the standard lever against re-translation
+        cost growing with the accumulated prefix — fixed decode
+        interval); intermediate feeds extend the incremental encoder
+        only and commit nothing. finalize() is unaffected (always a full
+        decode), so the final hypothesis stays offline-identical."""
         self.enc.feed(chunk)
+        self._feeds = getattr(self, "_feeds", 0) + 1
+        if self._feeds % max(self.decode_every, 1):
+            return []
         hyp = self._decode_prefix()
         new = retranslation_commit(self._prev_hyp, hyp, self.committed)
         self.committed += new

@@ -4,7 +4,11 @@ plus a timing comparison vs the XLA folded-bias route at encoder shape.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts_dev/causal_tpu_probe.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

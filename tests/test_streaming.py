@@ -265,3 +265,52 @@ def test_stream_cli_end_to_end(tmp_path):
     assert rc == 0
     offline = (out_o / "2.unit").read_text().split()
     assert streamed == offline, (streamed, offline)
+
+
+def test_streaming_s2st_decode_every():
+    """decode_every=2: intermediate feeds commit nothing (encoder-only),
+    finalize still equals the offline decode, and committed stays a
+    prefix of the final hypothesis."""
+    from mm_s2ut.config import GenerationConfig, ModelConfig, MultimodalConfig
+    from mm_s2ut.infer.generator import UnitGenerator
+    from mm_s2ut.infer.streaming import StreamingS2ST
+    from mm_s2ut.models.mm_s2ut import MMS2UTModel
+
+    V = 40
+    cfg = ModelConfig(
+        encoder_embed_dim=D, encoder_ffn_embed_dim=FFN, encoder_layers=LAYERS,
+        encoder_attention_heads=HEADS, decoder_embed_dim=D,
+        decoder_ffn_embed_dim=FFN, decoder_layers=1,
+        decoder_attention_heads=HEADS, conv_channels=CONV, vocab_size=V,
+        dtype="float32", encoder_causal_attention=True,
+        use_flash_attention=False,
+        multimodal=MultimodalConfig(multimodal_attention_type=None),
+    )
+    model = MMS2UTModel(cfg)
+    rng = np.random.RandomState(0)
+    T, CHUNK = 48, 16
+    feats = rng.randn(1, T, 80).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats),
+        jnp.full((1,), T, jnp.int32), jnp.zeros((1, 3), jnp.int32),
+    )
+    MAXLEN = 10
+    srv = StreamingS2ST(
+        model, params, chunk_frames=CHUNK, max_frames=64, beam=2,
+        max_len=MAXLEN, decode_every=2,
+    )
+    commits = []
+    for start in range(0, T, CHUNK):
+        commits.append(srv.feed(feats[:, start : start + CHUNK]))
+    # Feeds 1 and 3 skip the search entirely.
+    assert commits[0] == [] and commits[2] == []
+    committed = [u for c in commits for u in c]
+    final = srv.finalize()
+    assert final[: len(committed)] == committed
+
+    gen = UnitGenerator(
+        model, params,
+        GenerationConfig(beam=2, max_len_a=0.0, max_len_b=MAXLEN),
+    )
+    offline = gen.generate(feats, np.asarray([T], np.int32))[0][0]["tokens"]
+    assert final == offline
