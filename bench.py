@@ -187,7 +187,8 @@ def train_step_ms(model, cfg, B=8, steps=20, T_src=1000, Tt=100):
         float(run_scan(state, batch, key, n))
         return _time.perf_counter() - t0
 
-    return two_point_marginal(timed, n_small, n_big) * 1e3
+    sec, est = two_point_marginal(timed, n_small, n_big)
+    return sec * 1e3, est
 
 
 def two_point_marginal(timed, n_small, n_big, reps=3):
@@ -195,7 +196,10 @@ def two_point_marginal(timed, n_small, n_big, reps=3):
     ignoring jitter-inverted pairs. If EVERY pair inverts (relay noise ≫
     the work delta), fall back to the finite upper bound t(n_big)/n_big
     instead of returning inf — a too-slow answer is honest, an Infinity
-    in the bench JSON is not."""
+    in the bench JSON is not. Returns (seconds, estimator): the
+    "avg_fallback" estimator includes the fixed dispatch/relay latency
+    the marginal cancels, so the JSON records which one produced each
+    number (downstream comparisons must not mix the two measures)."""
     best = float("inf")
     t_b_last = None
     for _ in range(reps):
@@ -204,8 +208,8 @@ def two_point_marginal(timed, n_small, n_big, reps=3):
         if t_b > t_s:
             best = min(best, (t_b - t_s) / (n_big - n_small))
     if best == float("inf"):
-        best = t_b_last / n_big
-    return best
+        return t_b_last / n_big, "avg_fallback"
+    return best, "marginal"
 
 
 def main():
@@ -404,8 +408,9 @@ def main():
             m5, _, _ = marginal_sec(beam=5)
             extra["beam5_utt_per_sec"] = round(B / m5, 3)
         # Train step at the training shape (driver-captured, VERDICT r2 #7).
-        t_ms = train_step_ms(model, cfg, B=8)
+        t_ms, t_est = train_step_ms(model, cfg, B=8)
         extra["train_step_ms"] = round(t_ms, 3)
+        extra["train_ms_estimator"] = t_est
         extra["train_mfu_pct"] = round(
             100 * train_flops(8, 1000, 100, cfg) / (t_ms / 1e3) / PEAK_BF16_FLOPS,
             2,
@@ -414,8 +419,9 @@ def main():
         # --max-source-positions 4000 (1000 encoder rows post-subsample);
         # same max-tokens budget, B=2 x T=4000.
         _log("train bench long-source")
-        t_ms_l = train_step_ms(model, cfg, B=2, T_src=4000, Tt=200)
+        t_ms_l, tl_est = train_step_ms(model, cfg, B=2, T_src=4000, Tt=200)
         extra["train_long_ms"] = round(t_ms_l, 3)
+        extra["train_long_ms_estimator"] = tl_est
         extra["train_long_mfu_pct"] = round(
             100 * train_flops(2, 4000, 200, cfg) / (t_ms_l / 1e3) / PEAK_BF16_FLOPS,
             2,
@@ -461,9 +467,16 @@ def main():
             for line in buf.getvalue().splitlines():
                 rec = json.loads(line)
                 if rec.get("metric") == "stream_chunk_p50_ms":
+                    # Headline = prefix-reuse incremental decode (the
+                    # cli/stream default); full_* = round-4 re-decode
+                    # baseline; beam1_* = greedy re-decode baseline.
                     extra["stream_chunk_p50_ms"] = rec["value"]
                     ex = rec.get("extras", {})
                     for k in ("p95_ms", "p99_ms", "chunk_ms", "realtime_ok",
+                              "mode", "max_new_tokens", "decode_every",
+                              "commit_ratio", "finalize_ms",
+                              "full_p50_ms", "full_p95_ms",
+                              "full_realtime_ok",
                               "beam1_p50_ms", "beam1_p95_ms",
                               "beam1_realtime_ok"):
                         if k in ex:

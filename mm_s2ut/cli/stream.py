@@ -53,6 +53,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--beam", type=int, default=None)
     ap.add_argument("--vocoder_path", help="CodeHiFiGAN checkpoint (.pt)")
     ap.add_argument("--vocoder_cfg", help="CodeHiFiGAN config.json")
+    ap.add_argument("--decode-every", type=int, default=1,
+                    help="run the re-translation search every Nth chunk")
+    ap.add_argument("--full-redecode", action="store_true",
+                    help="re-decode the whole hypothesis every search "
+                         "(the round-4 behavior). Default is prefix "
+                         "reuse: each search continues from the "
+                         "committed prefix's prefilled cache, so "
+                         "per-chunk latency stays flat as context grows")
+    ap.add_argument("--max-new-tokens", type=int, default=48,
+                    help="per-search continuation budget under prefix "
+                         "reuse")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -116,6 +127,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         beam=g.beam, max_len=max_len,
         len_penalty=g.len_penalty, unk_penalty=g.unk_penalty,
         kv_cache_dtype=g.kv_cache_dtype,
+        decode_every=args.decode_every,
+        prefix_reuse=not args.full_redecode,
+        max_new_tokens=args.max_new_tokens,
     )
 
     voc = None

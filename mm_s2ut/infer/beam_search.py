@@ -74,6 +74,7 @@ def _length_norm(length: jnp.ndarray, alpha: float) -> jnp.ndarray:
         "len_penalty",
         "unk_penalty",
         "unk_id",
+        "max_new",
     ),
 )
 def beam_search(
@@ -90,6 +91,10 @@ def beam_search(
     len_penalty: float = 1.0,
     unk_penalty: float = 0.0,
     unk_id: int = 3,
+    prefix_tokens: Optional[jnp.ndarray] = None,
+    prefix_len: Optional[jnp.ndarray] = None,
+    prefix_logp: Optional[jnp.ndarray] = None,
+    max_new: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -102,6 +107,20 @@ def beam_search(
     (logit-ensemble decoding, UnitGenerator): ``decode_step`` then
     receives/returns the tuple, and the cache bookkeeping (ancestry
     reorder, segmented growth) applies to every member.
+
+    Prefix-constrained continuation (streaming prefix-reuse decode,
+    infer/streaming.py): pass ``prefix_tokens`` (B, P) with position 0 =
+    BOS, the dynamic ``prefix_len`` scalar (tokens incl. BOS) and
+    ``prefix_logp`` (B,) — the state must already be prefilled
+    (``UnitDecoder.prefill``: cache columns < prefix_len − 1 written at
+    slot 0, ``state["step"] == prefix_len − 1``). The search then starts
+    at step prefix_len − 1 with the prefix as the sole live beam, so its
+    cost is O(continuation), not O(prefix). ``max_new`` (static) bounds
+    the continuation length — the per-chunk decode budget; global step
+    semantics (length penalty, the EOS-at-max_len force) are unchanged,
+    so an empty prefix reproduces the unconstrained search. Segmented
+    cache growth is disabled in prefix mode (shrinking would drop the
+    prefilled columns; the prefix already paid the fill).
     """
     B, K, V = batch_size, beam_size, vocab_size
     if V < 2:
@@ -109,11 +128,29 @@ def beam_search(
     multi = isinstance(init_state, (tuple, list))
     init_states = tuple(init_state) if multi else (init_state,)
 
+    prefixed = prefix_tokens is not None
     alive_seq = jnp.full((B, K, max_len + 1), pad_id, jnp.int32)
     alive_seq = alive_seq.at[:, :, 0].set(bos_id)
+    if prefixed:
+        P = prefix_tokens.shape[1]
+        row = jnp.full((B, max_len + 1), pad_id, jnp.int32)
+        row = row.at[:, :P].set(prefix_tokens.astype(jnp.int32))
+        pos = jnp.arange(max_len + 1)[None, :]
+        row = jnp.where(pos < prefix_len, row, pad_id)
+        alive_seq = jnp.broadcast_to(
+            row[:, None, :], (B, K, max_len + 1)
+        ).astype(jnp.int32)
     # Only beam 0 is live initially (identical prefixes would duplicate).
     alive_logp = jnp.tile(
         jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None], (B, 1)
+    )
+    if prefixed and prefix_logp is not None:
+        alive_logp = alive_logp.at[:, 0].set(
+            jnp.asarray(prefix_logp, jnp.float32).reshape(B)
+        )
+    start = (
+        jnp.maximum(jnp.asarray(prefix_len, jnp.int32) - 1, 0)
+        if prefixed else jnp.zeros((), jnp.int32)
     )
     fin_seq = jnp.full((B, K, max_len + 1), pad_id, jnp.int32)
     fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
@@ -198,6 +235,8 @@ def beam_search(
         def cond(carry):
             step, alive_seq, alive_logp, fin_seq, fin_scores, fin_flags, state = carry
             not_done = step < seg_end
+            if max_new is not None:
+                not_done = jnp.logical_and(not_done, step < start + max_new)
             best_alive = alive_logp[:, 0] / _length_norm(
                 jnp.asarray(max_len), len_penalty
             )
@@ -220,10 +259,11 @@ def beam_search(
     pack_div = 2 if int4 else 1
     T_full = kv_full.shape[3] * pack_div // K
     caps = []
-    c = 64
-    while c < T_full:
-        caps.append(c)
-        c *= 2
+    if not prefixed:
+        c = 64
+        while c < T_full:
+            caps.append(c)
+            c *= 2
     caps.append(T_full)
 
     def shrink(st):
@@ -268,7 +308,7 @@ def beam_search(
         return {**st, **grown}
 
     carry = (
-        jnp.zeros((), jnp.int32), alive_seq, alive_logp,
+        start, alive_seq, alive_logp,
         fin_seq, fin_scores, fin_flags, tuple(shrink(s) for s in init_states),
     )
     for i, cap in enumerate(caps):

@@ -375,6 +375,8 @@ class StreamingS2ST:
         pad_id: int = 1,
         unk_id: int = 3,
         decode_every: int = 1,
+        prefix_reuse: bool = False,
+        max_new_tokens: int = 48,
     ):
         from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
 
@@ -418,6 +420,8 @@ class StreamingS2ST:
         self.sub_max = self.enc.sub_max
         self.committed: List[int] = []
         self._prev_hyp: List[int] = []
+        self.prefix_reuse = prefix_reuse
+        self.max_new_tokens = max_new_tokens
 
         def search(params, enc_out, enc_mask):
             enc = {
@@ -439,13 +443,42 @@ class StreamingS2ST:
                 unk_id=unk_id,
             )
 
-        self._search = jax.jit(search)
-        self.eos, self.pad = eos_id, pad_id
+        def search_prefixed(params, enc_out, enc_mask, ptoks, plen):
+            """Prefix-reuse continuation: prefill the cache with the
+            committed prefix in ONE parallel pass, then search only
+            ``max_new_tokens`` steps past it — per-chunk decode cost stops
+            growing with the accumulated context (the re-translation tail
+            latency in BENCH_r04: p95 1.1 s at a 320 ms cadence)."""
+            enc = {
+                "encoder_out": enc_out,
+                "encoder_padding_mask": enc_mask,
+                "encoder_states": [],
+            }
+            state = model.apply(
+                params, enc, max_len + 1, kv_cache_dtype,
+                method=model.decode_init,
+            )
+            state = tile_state_for_beams(state, beam)
+            state, plogp = model.apply(
+                params, ptoks, plen, state, method=model.decode_prefill,
+            )
+            return beam_search(
+                lambda t, s: model.apply(params, t, s, method=model.decode_step),
+                state, 1, beam_size=beam, max_len=max_len,
+                eos_id=eos_id, bos_id=bos_id, pad_id=pad_id,
+                vocab_size=cfg.vocab_size,
+                len_penalty=len_penalty, unk_penalty=unk_penalty,
+                unk_id=unk_id,
+                prefix_tokens=ptoks, prefix_len=plen, prefix_logp=plogp,
+                max_new=max_new_tokens,
+            )
 
-    def _decode_prefix(self) -> List[int]:
+        self._search = jax.jit(search)
+        self._search_prefixed = jax.jit(search_prefixed)
+        self.eos, self.pad, self.bos = eos_id, pad_id, bos_id
+
+    def _enc_prefix(self):
         n = self.enc.emitted
-        if n == 0:
-            return []
         out = (
             np.concatenate(self.enc.outputs, axis=1)
             if self.enc.outputs else np.zeros((1, 0, 0), np.float32)
@@ -453,13 +486,42 @@ class StreamingS2ST:
         enc_out = np.zeros((1, self.sub_max, out.shape[-1]), np.float32)
         enc_out[:, :n] = out
         enc_mask = np.arange(self.sub_max)[None, :] >= n
-        seqs, _ = self._search(
-            self.params, jnp.asarray(enc_out), jnp.asarray(enc_mask)
-        )
+        return enc_out, enc_mask
+
+    def _hyp_from_seqs(self, seqs) -> List[int]:
         toks = [int(t) for t in np.asarray(seqs)[0, 0]]
         if self.eos in toks:
             toks = toks[: toks.index(self.eos)]
         return [t for t in toks if t != self.pad]
+
+    def _decode_prefix(self) -> List[int]:
+        if self.enc.emitted == 0:
+            return []
+        enc_out, enc_mask = self._enc_prefix()
+        seqs, _ = self._search(
+            self.params, jnp.asarray(enc_out), jnp.asarray(enc_mask)
+        )
+        return self._hyp_from_seqs(seqs)
+
+    def _decode_continuation(self) -> List[int]:
+        """Constrained re-decode: continue from the committed prefix's
+        prefilled cache for at most ``max_new_tokens`` steps. The
+        hypothesis always extends ``committed`` (which the agreement
+        policy already guarantees it never retracts)."""
+        if self.enc.emitted == 0:
+            return []
+        enc_out, enc_mask = self._enc_prefix()
+        P = self.max_len + 1
+        ptoks = np.full((1, P), self.pad, np.int32)
+        ptoks[0, 0] = self.bos
+        pfx = self.committed[: self.max_len]
+        ptoks[0, 1 : 1 + len(pfx)] = pfx
+        plen = np.int32(1 + len(pfx))
+        seqs, _ = self._search_prefixed(
+            self.params, jnp.asarray(enc_out), jnp.asarray(enc_mask),
+            jnp.asarray(ptoks), jnp.asarray(plen),
+        )
+        return self._hyp_from_seqs(seqs)
 
     def feed(self, chunk: np.ndarray) -> List[int]:
         """(1, T ≤ chunk_frames, 80) → newly COMMITTED units (may be
@@ -475,7 +537,10 @@ class StreamingS2ST:
         self._feeds = getattr(self, "_feeds", 0) + 1
         if self._feeds % max(self.decode_every, 1):
             return []
-        hyp = self._decode_prefix()
+        hyp = (
+            self._decode_continuation() if self.prefix_reuse
+            else self._decode_prefix()
+        )
         new = retranslation_commit(self._prev_hyp, hyp, self.committed)
         self.committed += new
         self._prev_hyp = hyp

@@ -396,6 +396,148 @@ class UnitDecoder(nn.Module):
         out = attn.out_proj(out.reshape(N, 1, attn.embed_dim))
         return out, k_new, v_new
 
+    def prefill(
+        self,
+        prefix_tokens: jnp.ndarray,  # (B, P) int32, position 0 = BOS
+        prefix_len: jnp.ndarray,     # scalar int32, tokens incl. BOS (<= P)
+        state: DecoderState,
+    ) -> Tuple[DecoderState, jnp.ndarray]:
+        """Parallel teacher-forced prefill of a *tiled* beam-search cache.
+
+        One causal forward over the whole prefix buffer (MXU-batched — no
+        sequential per-token loop) computes every layer's K/V projections
+        and writes them into beam slot 0 of the flattened (t·S + s) cache
+        axis, exactly where step-by-step decoding of the same tokens would
+        have put them (all beams share the prefix, ancestry stays 0). Used
+        by the streaming prefix-reuse decode (infer/streaming.py): a
+        re-translation that must extend a committed prefix restarts the
+        search AT the prefix instead of replaying it token by token, so
+        per-chunk decode cost stops growing with the accumulated context.
+
+        Positions ≥ ``prefix_len`` may hold pad garbage: their cache
+        columns are written but masked by the step counter until real
+        decode steps overwrite them. With an int8 cache the written rows
+        quantize identically to stepwise decoding, but the prefill pass
+        itself attends to EXACT history where stepwise attends to
+        quantized history — downstream logits agree within quantization
+        noise (exactly, for full-precision caches). Returns ``(state', prefix_logp)``
+        with ``state'["step"] = prefix_len - 1`` (the search re-processes
+        the final prefix token as its first step, matching the step-loop
+        invariant) and ``prefix_logp = Σ_{t=1}^{len-1} log p(tok_t | <t)``
+        — the alive-beam score the continuation inherits.
+        """
+        if self.n_frames_per_step > 1:
+            raise NotImplementedError(
+                "prefill with n_frames_per_step > 1 is not supported"
+            )
+        kv = state["self_kv"]
+        if "ancestry" not in state:
+            raise ValueError("prefill expects a beam-tiled state")
+        if "self_kv_sk" in state and state["self_kv_sk"].shape[3] == 2 * kv.shape[3]:
+            raise NotImplementedError(
+                "prefill supports float/bf16/int8 caches (int4 packs two "
+                "columns per byte; streaming decodes at B=1 where int4 "
+                "buys nothing)"
+            )
+        B, P = prefix_tokens.shape
+        T_ = state["ancestry"].shape[2]
+        S_ = kv.shape[3] // T_
+        H, Dh = kv.shape[2], kv.shape[4] // 2
+
+        x = self.embed(prefix_tokens) * self.embed_scale
+        x = self.pos(x)
+        self_bias = make_causal_bias(P, self.dtype)
+        new_ks, new_vs = [], []
+        for i, layer in enumerate(self.layers):
+            residual = x
+            h = layer.self_attn_layer_norm(x) if self.normalize_before else x
+            attn = layer.self_attn
+            q = attn._split(attn.q_proj(h)) * attn.head_dim**-0.5
+            k_new = attn._split(attn.k_proj(h))  # (B, P, H, Dh)
+            v_new = attn._split(attn.v_proj(h))
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k_new,
+                preferred_element_type=jnp.float32,
+            ) + self_bias.astype(jnp.float32)
+            wgt = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            h = jnp.einsum("bhqk,bkhd->bqhd", wgt, v_new)
+            h = attn.out_proj(h.reshape(B, P, attn.embed_dim))
+            new_ks.append(k_new)
+            new_vs.append(v_new)
+            x = residual + h
+            if not self.normalize_before:
+                x = layer.self_attn_layer_norm(x)
+            residual = x
+            h = layer.cross_attn_layer_norm(x) if self.normalize_before else x
+            h, _, _ = layer.cross_attn(
+                h, bias=state["cross_bias"], cache=state["cross"][i],
+                static_kv=True, deterministic=True,
+            )
+            x = residual + h
+            if not self.normalize_before:
+                x = layer.cross_attn_layer_norm(x)
+            residual = x
+            h = layer.final_layer_norm(x) if self.normalize_before else x
+            x = residual + layer.ffn(h, deterministic=True)
+            if not self.normalize_before:
+                x = layer.final_layer_norm(x)
+        if self.normalize_before:
+            x = self.final_norm(x)
+        logits = self._output(x)  # (B, P, V) fp32
+
+        # Cumulative prefix log-probability: logits at position t predict
+        # token t+1; count only real (t+1 < prefix_len) transitions.
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nxt = jnp.concatenate(
+            [prefix_tokens[:, 1:], prefix_tokens[:, :1]], axis=1
+        )  # value at the wrapped tail is masked out below
+        tok_lp = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
+        t_idx = jnp.arange(P)[None, :]
+        prefix_logp = jnp.sum(
+            jnp.where(t_idx + 1 < prefix_len, tok_lp, 0.0), axis=1
+        )  # (B,)
+
+        # Write slot 0 of the first P flattened positions: the physical
+        # axis is (t, s) row-major, so a (B, L, H, T, S, 2Dh) reshape IS
+        # the slot view — one strided static-slice write, no scatter.
+        k_rows = jnp.stack(new_ks, axis=1).transpose(0, 1, 3, 2, 4)
+        v_rows = jnp.stack(new_vs, axis=1).transpose(0, 1, 3, 2, 4)
+        # (B, L, H, P, Dh) each
+        kv5 = kv.reshape(B, self.num_layers, H, T_, S_, 2 * Dh)
+        if "self_kv_sk" in state:
+            levels = 127.0
+            sk = jnp.max(jnp.abs(k_rows.astype(jnp.float32)), axis=-1) / levels
+            sv = jnp.max(jnp.abs(v_rows.astype(jnp.float32)), axis=-1) / levels
+            sk = jnp.maximum(sk, 1e-8)
+            sv = jnp.maximum(sv, 1e-8)
+            k_q = jnp.round(k_rows.astype(jnp.float32) / sk[..., None])
+            v_q = jnp.round(v_rows.astype(jnp.float32) / sv[..., None])
+            rows = jnp.clip(
+                jnp.concatenate([k_q, v_q], axis=-1), -levels, levels
+            ).astype(jnp.int8)
+            kv5 = kv5.at[:, :, :, :P, 0, :].set(rows)
+            sk5 = state["self_kv_sk"].reshape(B, self.num_layers, H, T_, S_)
+            sv5 = state["self_kv_sv"].reshape(B, self.num_layers, H, T_, S_)
+            updates = {
+                "self_kv": kv5.reshape(kv.shape),
+                "self_kv_sk": sk5.at[:, :, :, :P, 0].set(sk).reshape(
+                    state["self_kv_sk"].shape
+                ),
+                "self_kv_sv": sv5.at[:, :, :, :P, 0].set(sv).reshape(
+                    state["self_kv_sv"].shape
+                ),
+            }
+        else:
+            rows = jnp.concatenate([k_rows, v_rows], axis=-1).astype(kv.dtype)
+            kv5 = kv5.at[:, :, :, :P, 0, :].set(rows)
+            updates = {"self_kv": kv5.reshape(kv.shape)}
+        new_state = {
+            **state,
+            **updates,
+            "step": jnp.maximum(prefix_len - 1, 0).astype(jnp.int32),
+        }
+        return new_state, prefix_logp
+
     def step(
         self,
         prev_token: jnp.ndarray,  # (B, 1) the token generated last step

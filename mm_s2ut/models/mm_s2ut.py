@@ -519,6 +519,11 @@ class MMS2UTModel(nn.Module):
     def decode_step(self, prev_token: jnp.ndarray, state):
         return self.decoder.step(prev_token, state)
 
+    def decode_prefill(self, prefix_tokens, prefix_len, state):
+        """Parallel teacher-forced prefill of a tiled beam state (streaming
+        prefix-reuse decode; see UnitDecoder.prefill)."""
+        return self.decoder.prefill(prefix_tokens, prefix_len, state)
+
     def serve_step(self, prev_token: jnp.ndarray, state):
         """Continuous-batching decode step (infer/serving.py)."""
         return self.decoder.serve_step(prev_token, state)

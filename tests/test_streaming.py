@@ -171,6 +171,149 @@ def test_streaming_s2st_finalize_matches_offline():
     assert final == offline, (final, offline)
 
 
+def _tiny_flagship(V=40, decoder_layers=1):
+    from mm_s2ut.config import ModelConfig, MultimodalConfig
+    from mm_s2ut.models.mm_s2ut import MMS2UTModel
+
+    cfg = ModelConfig(
+        encoder_embed_dim=D, encoder_ffn_embed_dim=FFN, encoder_layers=LAYERS,
+        encoder_attention_heads=HEADS, decoder_embed_dim=D,
+        decoder_ffn_embed_dim=FFN, decoder_layers=decoder_layers,
+        decoder_attention_heads=HEADS, conv_channels=CONV, vocab_size=V,
+        dtype="float32", encoder_causal_attention=True,
+        use_flash_attention=False,
+        multimodal=MultimodalConfig(multimodal_attention_type=None),
+    )
+    model = MMS2UTModel(cfg)
+    rng = np.random.RandomState(0)
+    T = 48
+    feats = rng.randn(1, T, 80).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats),
+        jnp.full((1,), T, jnp.int32), jnp.zeros((1, 3), jnp.int32),
+    )
+    return model, params, feats, T
+
+
+@pytest.mark.parametrize("kv_dtype", [None, "int8"])
+def test_prefill_equals_stepwise(kv_dtype):
+    """decode_prefill + one step == replaying the same tokens through
+    decode_step: the parallel prefill writes the identical cache."""
+    from mm_s2ut.infer.beam_search import tile_state_for_beams
+
+    model, params, feats, T = _tiny_flagship(decoder_layers=2)
+    enc = model.apply(
+        params, jnp.asarray(feats), jnp.full((1,), T, jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), method=model.encode,
+    )
+    MAXLEN, K = 12, 2
+    tokens = [2, 7, 9, 5, 11]  # BOS + 4 generated
+
+    def fresh_state():
+        st = model.apply(
+            params, enc, MAXLEN + 1, kv_dtype, method=model.decode_init
+        )
+        return tile_state_for_beams(st, K)
+
+    # Reference: step through tokens one by one (all K slots fed the same
+    # token — the pre-divergence beam state).
+    st = fresh_state()
+    logits_ref = None
+    for t in tokens:
+        tok = jnp.full((K, 1), t, jnp.int32)
+        logits_ref, st = model.apply(params, tok, st, method=model.decode_step)
+
+    # Prefill: one parallel pass over tokens[:-1]+pad, then a single step
+    # on the last token.
+    st2 = fresh_state()
+    P = MAXLEN + 1
+    ptoks = np.full((1, P), 1, np.int32)
+    ptoks[0, : len(tokens)] = tokens
+    st2, plogp = model.apply(
+        params, jnp.asarray(ptoks), jnp.asarray(len(tokens), jnp.int32),
+        st2, method=model.decode_prefill,
+    )
+    assert int(st2["step"]) == len(tokens) - 1
+    tok = jnp.full((K, 1), tokens[-1], jnp.int32)
+    logits_pf, _ = model.apply(params, tok, st2, method=model.decode_step)
+    # int8: the stepwise path attends to QUANTIZED history while the
+    # parallel prefill pass attends to exact history (the written cache
+    # rows quantize identically) — logits agree within quantization
+    # noise, exactly for full-precision caches.
+    tol = 2e-2 if kv_dtype == "int8" else 2e-4
+    np.testing.assert_allclose(
+        np.asarray(logits_pf), np.asarray(logits_ref), atol=tol, rtol=tol
+    )
+    assert np.isfinite(float(plogp[0]))
+
+
+def test_prefix_search_empty_prefix_equals_plain():
+    """A BOS-only prefix reproduces the unconstrained search exactly."""
+    from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams
+
+    model, params, feats, T = _tiny_flagship()
+    enc = model.apply(
+        params, jnp.asarray(feats), jnp.full((1,), T, jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), method=model.encode,
+    )
+    MAXLEN, K = 10, 2
+    step_fn = lambda t, s: model.apply(params, t, s, method=model.decode_step)
+
+    st = tile_state_for_beams(
+        model.apply(params, enc, MAXLEN + 1, None, method=model.decode_init), K
+    )
+    seqs0, sc0 = beam_search(
+        step_fn, st, 1, beam_size=K, max_len=MAXLEN,
+        vocab_size=model.cfg.vocab_size,
+    )
+
+    st = tile_state_for_beams(
+        model.apply(params, enc, MAXLEN + 1, None, method=model.decode_init), K
+    )
+    ptoks = np.full((1, MAXLEN + 1), 1, np.int32)
+    ptoks[0, 0] = 2
+    st, plogp = model.apply(
+        params, jnp.asarray(ptoks), jnp.asarray(1, jnp.int32), st,
+        method=model.decode_prefill,
+    )
+    seqs1, sc1 = beam_search(
+        step_fn, st, 1, beam_size=K, max_len=MAXLEN,
+        vocab_size=model.cfg.vocab_size,
+        prefix_tokens=jnp.asarray(ptoks),
+        prefix_len=jnp.asarray(1, jnp.int32),
+        prefix_logp=plogp, max_new=MAXLEN,
+    )
+    np.testing.assert_array_equal(np.asarray(seqs0), np.asarray(seqs1))
+    np.testing.assert_allclose(np.asarray(sc0), np.asarray(sc1), atol=1e-5)
+
+
+def test_streaming_s2st_prefix_reuse():
+    """prefix_reuse=True: committed stays a prefix of the final
+    hypothesis and finalize still equals offline decoding."""
+    from mm_s2ut.config import GenerationConfig
+    from mm_s2ut.infer.generator import UnitGenerator
+    from mm_s2ut.infer.streaming import StreamingS2ST
+
+    model, params, feats, T = _tiny_flagship()
+    CHUNK, MAXLEN = 16, 10
+    srv = StreamingS2ST(
+        model, params, chunk_frames=CHUNK, max_frames=64, beam=2,
+        max_len=MAXLEN, prefix_reuse=True, max_new_tokens=6,
+    )
+    committed = []
+    for start in range(0, T, CHUNK):
+        committed += srv.feed(feats[:, start : start + CHUNK])
+    final = srv.finalize()
+    assert final[: len(committed)] == committed
+
+    gen = UnitGenerator(
+        model, params,
+        GenerationConfig(beam=2, max_len_a=0.0, max_len_b=MAXLEN),
+    )
+    offline = gen.generate(feats, np.asarray([T], np.int32))[0][0]["tokens"]
+    assert final == offline, (final, offline)
+
+
 @pytest.mark.slow
 def test_stream_cli_end_to_end(tmp_path):
     """Train a tiny causal-encoder checkpoint, run the streaming CLI on a
