@@ -45,29 +45,50 @@ def main(argv: Optional[List[str]] = None) -> int:
         # reference mm_s2s_transformer.py:229): all checkpoints must share
         # the architecture of the first; UnitGenerator averages per-step
         # probabilities across them.
+        import dataclasses
+
+        def _arch_view(c):
+            """ModelConfig as a comparable dict, dropping fields that do
+            not change the decode function: data-file locations and
+            pure-execution knobs. Everything else must match EXACTLY —
+            members with coinciding param shapes but different semantics
+            (heads, activation, normalize_before, …) would decode a
+            meaningless probability average."""
+            d = dataclasses.asdict(c.model)
+            for k in (
+                "checkpoint_activations", "sequence_parallel",
+                "pipeline_stages", "pipeline_microbatches",
+                "use_flash_attention",
+            ):
+                d.pop(k, None)
+
+            def strip_paths(node):
+                if isinstance(node, dict):
+                    return {
+                        k: strip_paths(v) for k, v in node.items()
+                        if not k.endswith(("_path", "_root", "_dir", "_file"))
+                    }
+                if isinstance(node, list):
+                    return [strip_paths(v) for v in node]
+                return node
+
+            return {"task": c.task, "model": strip_paths(d)}
+
         params = [params]
+        ref_view = _arch_view(cfg)
         for p in paths[1:]:
             cfg_i, _, params_i = load_checkpoint(p)
-            mismatches = [
-                f"{name}: {a} vs {b}"
-                for name, a, b in (
-                    ("task", cfg.task, cfg_i.task),
-                    ("vocab_size", cfg.model.vocab_size, cfg_i.model.vocab_size),
-                    ("decoder_embed_dim", cfg.model.decoder_embed_dim,
-                     cfg_i.model.decoder_embed_dim),
-                    ("decoder_layers", cfg.model.decoder_layers,
-                     cfg_i.model.decoder_layers),
-                    ("encoder_embed_dim", cfg.model.encoder_embed_dim,
-                     cfg_i.model.encoder_embed_dim),
-                )
-                if a != b
-            ]
-            if mismatches:
-                # Coinciding shapes with different semantics would decode
-                # a meaningless probability average; fail fast instead.
+            view_i = _arch_view(cfg_i)
+            if view_i != ref_view:
+                diffs = [
+                    k for k in ref_view["model"]
+                    if view_i["model"].get(k) != ref_view["model"][k]
+                ]
+                if cfg_i.task != cfg.task:
+                    diffs.insert(0, "task")
                 raise ValueError(
                     f"ensemble member {p} is incompatible with {paths[0]}: "
-                    + "; ".join(mismatches)
+                    f"differing fields {diffs}"
                 )
             params.append(params_i)
     if args.beam:

@@ -42,6 +42,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "programs (encode/admit/decode-chunk)")
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--ring", type=int, default=0,
+                    help="serving ring size; 0 derives it from the "
+                         "generation budget (a*max_frames + b)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp  # noqa: F401  (forces jax init after cli cache env)
@@ -85,8 +88,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         t = time.perf_counter()
         # Use the REAL generation budget and size the ring to it — a
         # clamped budget compiles a program the production server would
-        # never request, making the priming useless.
-        ring = int(2 ** np.ceil(np.log2(max(g.max_len_b + 2, 8))))
+        # never request, making the priming useless. The budget includes
+        # the max_len_a·src_frames term (serving.py slot_max computes
+        # a·len + b in the raw-frame domain), so a server configured with
+        # max_len_a > 0 reuses the primed executable.
+        budget = int(np.ceil(g.max_len_a * args.max_frames)) + g.max_len_b
+        ring = args.ring or int(2 ** np.ceil(np.log2(max(budget + 2, 8))))
         srv = ContinuousServer(
             model, params, slots=args.slots, beam_size=g.beam,
             ring=ring, chunk=args.chunk, enc_frames=args.max_frames,

@@ -137,6 +137,11 @@ class KMeansQuantizer:
         out = {
             "code": code,
             "distance": dist,
+            # Residual to the assigned centroid (reference mhubert.py:62-67
+            # 'center_diff' analysis field — nothing downstream consumes
+            # it, kept for exact decode-surface parity).
+            "center_diff": np.asarray(features, np.float32)
+            - np.asarray(self.centroids)[code],
             "merged_code": [k for k, _ in groupby(code.tolist())],
         }
         if beamsearch:

@@ -80,6 +80,13 @@ def test_quantizer_decode_and_sklearn_compat(tmp_path):
     out = q.decode(x[:12], beamsearch=True, top_k=3, beamsize=8)
     assert len(out["code"]) == 12
     assert out["merged_code"] == dedup_units(out["code"])
+    # center_diff (reference mhubert.py:62-67): residual to the assigned
+    # centroid, per frame.
+    np.testing.assert_allclose(
+        out["center_diff"],
+        x[:12] - km.cluster_centers_[out["code"]],
+        atol=1e-5,
+    )
     assert len(out["beam_code"]) == 12
     # Beam result stays within per-frame top-k candidates.
     order = np.argsort(out["distance"], axis=1)[:, :3]
