@@ -52,9 +52,11 @@ def _load_blob(path: Path) -> Optional[np.ndarray]:
         with np.load(path) as z:
             return z[list(z.keys())[0]]
     if suffix in (".pth", ".pt", ".bin"):
-        import torch  # compat path for reference-produced blobs only
+        # Compat path for reference-produced blobs; torch-free for
+        # zip-format files (utils/torch_pickle.py).
+        from mm_s2ut.utils import torch_pickle
 
-        t = torch.load(path, map_location="cpu", weights_only=True)
+        t = torch_pickle.load_checkpoint_numpy(path)
         return t.numpy() if hasattr(t, "numpy") else np.asarray(t)
     raise ValueError(f"unsupported feature blob {path}")
 

@@ -532,9 +532,9 @@ def vocode_bucketed(
 def _fold_weight_norm(sd: Dict[str, Any], prefix: str) -> np.ndarray:
     """Fold weight_g/weight_v into a plain kernel (torch layout)."""
     if f"{prefix}.weight" in sd:
-        return sd[f"{prefix}.weight"].numpy()
-    g = sd[f"{prefix}.weight_g"].numpy()
-    v = sd[f"{prefix}.weight_v"].numpy()
+        return sd[f"{prefix}.weight"]
+    g = sd[f"{prefix}.weight_g"]
+    v = sd[f"{prefix}.weight_v"]
     norm = np.sqrt((v**2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
     return g * v / norm
 
@@ -555,26 +555,27 @@ def load_fairseq_checkpoint(
 ) -> Dict[str, Any]:
     """Convert a fairseq CodeHiFiGANVocoder state_dict (.pt) to params for
     :class:`CodeHiFiGAN` (cites reference use:
-    --vocoder code_hifigan, scripts/3_generate_waveform.sh:28-32)."""
-    import torch
+    --vocoder code_hifigan, scripts/3_generate_waveform.sh:28-32).
+    Torch-free for zip-format checkpoints (utils/torch_pickle.py)."""
+    from mm_s2ut.utils import torch_pickle
 
-    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    sd = torch_pickle.load_checkpoint_numpy(ckpt_path)
     if "generator" in sd:
         sd = sd["generator"]
     sd = {k.replace("model.", "", 1) if k.startswith("model.") else k: v for k, v in sd.items()}
 
     p: Dict[str, Any] = {}
-    p["dict"] = {"embedding": sd["dict.weight"].numpy()}
+    p["dict"] = {"embedding": sd["dict.weight"]}
     gen: Dict[str, Any] = {}
     gen["conv_pre"] = {
         "kernel": _conv_kernel(_fold_weight_norm(sd, "conv_pre")),
-        "bias": sd["conv_pre.bias"].numpy(),
+        "bias": sd["conv_pre.bias"],
     }
     n_res = len(cfg.resblock_kernel_sizes)
     for i in range(len(cfg.upsample_rates)):
         gen[f"ups_{i}"] = {
             "kernel": _convT_kernel(_fold_weight_norm(sd, f"ups.{i}")),
-            "bias": sd[f"ups.{i}.bias"].numpy(),
+            "bias": sd[f"ups.{i}.bias"],
         }
     for r in range(len(cfg.upsample_rates) * n_res):
         blk: Dict[str, Any] = {}
@@ -585,12 +586,12 @@ def load_fairseq_checkpoint(
                     "kernel": _conv_kernel(
                         _fold_weight_norm(sd, f"resblocks.{r}.{which}.{j}")
                     ),
-                    "bias": sd[f"resblocks.{r}.{which}.{j}.bias"].numpy(),
+                    "bias": sd[f"resblocks.{r}.{which}.{j}.bias"],
                 }
         gen[f"resblocks_{r}"] = blk
     gen["conv_post"] = {
         "kernel": _conv_kernel(_fold_weight_norm(sd, "conv_post")),
-        "bias": sd["conv_post.bias"].numpy(),
+        "bias": sd["conv_post.bias"],
     }
     p["generator"] = gen
 
@@ -606,18 +607,18 @@ def load_fairseq_checkpoint(
         dp: Dict[str, Any] = {}
         for i in (1, 2):
             dp[f"conv{i}"] = {
-                "kernel": _conv_kernel(sd[f"dur_predictor.conv{i}.0.weight"].numpy()),
-                "bias": sd[f"dur_predictor.conv{i}.0.bias"].numpy(),
+                "kernel": _conv_kernel(sd[f"dur_predictor.conv{i}.0.weight"]),
+                "bias": sd[f"dur_predictor.conv{i}.0.bias"],
             }
             dp[f"ln{i}"] = {
-                "scale": sd[f"dur_predictor.ln{i}.weight"].numpy(),
-                "bias": sd[f"dur_predictor.ln{i}.bias"].numpy(),
+                "scale": sd[f"dur_predictor.ln{i}.weight"],
+                "bias": sd[f"dur_predictor.ln{i}.bias"],
             }
         dp["proj"] = {
-            "kernel": sd["dur_predictor.proj.weight"].numpy().T,
-            "bias": sd["dur_predictor.proj.bias"].numpy(),
+            "kernel": sd["dur_predictor.proj.weight"].T,
+            "bias": sd["dur_predictor.proj.bias"],
         }
         p["dur_predictor"] = dp
     if cfg.num_speakers and "spkr.weight" in sd:
-        p["spkr"] = {"embedding": sd["spkr.weight"].numpy()}
+        p["spkr"] = {"embedding": sd["spkr.weight"]}
     return {"params": p}

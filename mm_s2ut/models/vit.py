@@ -233,13 +233,17 @@ def attention_rollout(
 
 def load_timm_checkpoint(path: str, cfg: ViTConfig) -> Dict[str, Any]:
     """Convert a timm ViT ``pytorch_model.bin`` state dict (the reference's
-    vit_timm load path, models/mm_s2s_transformer.py:275-284)."""
-    import torch
+    vit_timm load path, models/mm_s2s_transformer.py:275-284). Torch-free
+    for zip-format files (utils/torch_pickle.py)."""
+    from mm_s2ut.utils import torch_pickle
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = torch_pickle.load_checkpoint_numpy(path)
     if "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
-    return convert_timm_state_dict({k: v.numpy() for k, v in sd.items()}, cfg)
+    return convert_timm_state_dict(
+        {k: np.asarray(v) for k, v in sd.items() if isinstance(v, np.ndarray)},
+        cfg,
+    )
 
 
 def convert_timm_state_dict(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Dict[str, Any]:
@@ -430,8 +434,6 @@ def load_clip_checkpoint(model_dir: str) -> Tuple[CLIPVisionConfig, Dict[str, An
     import json as _json
     import os
 
-    import torch
-
     with open(os.path.join(model_dir, "config.json")) as f:
         raw = _json.load(f)
     vc = raw.get("vision_config", raw)
@@ -455,6 +457,12 @@ def load_clip_checkpoint(model_dir: str) -> Tuple[CLIPVisionConfig, Dict[str, An
 
         sd = load_file(path)
     else:
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-    np_sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        from mm_s2ut.utils import torch_pickle
+
+        sd = torch_pickle.load_checkpoint_numpy(path)
+    np_sd = {
+        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+        for k, v in sd.items()
+        if hasattr(v, "numpy") or isinstance(v, np.ndarray)
+    }
     return cfg, convert_clip_state_dict(np_sd, cfg)

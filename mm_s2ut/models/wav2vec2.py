@@ -564,7 +564,6 @@ def convert_hf_state_dict(sd: Dict[str, np.ndarray], cfg: Wav2Vec2Config) -> Dic
 def load_hf_checkpoint(model_dir: str) -> Tuple[Wav2Vec2Config, Dict[str, Any]]:
     """Load an HF wav2vec2/HuBERT/-ForCTC checkpoint directory into
     (config, params) — replaces the reference's from_pretrained calls."""
-    import torch
     from transformers import AutoConfig
 
     hf_cfg = AutoConfig.from_pretrained(model_dir)
@@ -583,8 +582,13 @@ def load_hf_checkpoint(model_dir: str) -> Tuple[Wav2Vec2Config, Dict[str, Any]]:
 
         sd = load_file(path)
     else:
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-    np_sd = {k: v.numpy() for k, v in sd.items()}
+        from mm_s2ut.utils import torch_pickle
+
+        sd = torch_pickle.load_checkpoint_numpy(path)
+    np_sd = {
+        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+        for k, v in sd.items()
+    }
     variables = convert_hf_state_dict(np_sd, cfg)
     if "lm_head" in variables:
         variables = {

@@ -38,20 +38,44 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _torch_blob(ckpt_path: str | Path):
+    """Checkpoint blob with tensors as numpy arrays — TORCH-FREE for the
+    zip format every torch ≥1.6 writes (utils/torch_pickle.py restricted
+    unpickler); only legacy pre-1.6 sequential pickles fall back to torch
+    when it happens to be installed. This is what makes the framework's
+    fairseq interop run on torch-free deployments
+    (reference README.md:223 checkpoints are zip-format)."""
+    from mm_s2ut.utils import torch_pickle
+
+    try:
+        return torch_pickle.load(ckpt_path)
+    except torch_pickle.LegacyFormatError:
+        try:
+            import torch
+        except ImportError as e:  # pragma: no cover - env-specific
+            raise RuntimeError(
+                f"{ckpt_path} uses the legacy pre-1.6 torch serialization; "
+                "reading it needs torch installed (zip-format checkpoints "
+                "load torch-free)"
+            ) from e
+        return torch.load(ckpt_path, map_location="cpu", weights_only=False)
+
+
 def _load_state_dict(ckpt_path: str | Path) -> Dict[str, np.ndarray]:
-    """Read a fairseq ``.pt`` (CPU torch load) → {name: float32 ndarray}.
+    """Read a fairseq ``.pt`` → {name: float32 ndarray} (torch-free for
+    zip-format files, see :func:`_torch_blob`).
 
     Fairseq wraps the weights under ``"model"`` (full train checkpoints);
     bare state dicts are accepted too.
     """
-    import torch
-
-    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    blob = _torch_blob(ckpt_path)
     sd = blob.get("model", blob) if isinstance(blob, dict) else blob
     out = {}
     for k, v in sd.items():
-        if hasattr(v, "detach"):
-            out[k] = v.detach().to(torch.float32).numpy()
+        if hasattr(v, "detach"):  # torch tensor (legacy-format fallback)
+            v = v.detach().float().numpy()
+        if isinstance(v, np.ndarray):
+            out[k] = np.asarray(v, np.float32)
     return out
 
 
@@ -312,16 +336,18 @@ def _parse_conv_feature_layers(spec: str) -> list:
 def fairseq_hubert_config(ckpt_path: str | Path):
     """Build a :class:`mm_s2ut.models.wav2vec2.Wav2Vec2Config` from the
     fairseq checkpoint's embedded model cfg (falling back to the standard
-    base-model frontend when fields are absent)."""
-    import torch
-
+    base-model frontend when fields are absent). Torch-free for
+    zip-format checkpoints (:func:`_torch_blob`); the cfg blob — plain
+    dict, argparse.Namespace, or omegaconf stub — is normalized through
+    ``torch_pickle.to_plain``."""
     from mm_s2ut.models.wav2vec2 import Wav2Vec2Config
+    from mm_s2ut.utils import torch_pickle
 
-    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    blob = _torch_blob(ckpt_path)
     mcfg = {}
     cfg_blob = blob.get("cfg") or blob.get("args")
     if cfg_blob is not None:
-        raw = cfg_blob
+        raw = torch_pickle.to_plain(cfg_blob)
         if not isinstance(raw, dict):
             raw = getattr(raw, "__dict__", {}) or {}
         model_raw = raw.get("model", raw) if isinstance(raw, dict) else raw
