@@ -360,11 +360,29 @@ class ContinuousServer:
     # -- host loop -----------------------------------------------------------
 
     def run(self, requests: Iterable[Request]) -> List[Result]:
+        """Double-buffered chunk loop: chunk N+1 is DISPATCHED before the
+        host syncs on chunk N's done flags, so the ~25 ms dev-tunnel RTT
+        plus finisher processing overlap device execution instead of
+        serializing with it (the round-4 loop paid one RTT per chunk —
+        PLAN.md "serving vs static" cause 2). JAX's async dispatch keeps
+        the device queue fed; the only per-iteration sync is on the
+        PREVIOUS chunk's (B,) done vector.
+
+        Correctness under pipelining: the in-flight chunk was dispatched
+        before the previous chunk's finishers were drained, so it steps
+        finished slots one extra chunk — harmless, because the done
+        criterion is the offline early-exit rule (no candidate can enter
+        the finished set once it holds), so extra steps never change the
+        emitted hypothesis. A per-slot generation counter guards against
+        emitting a REFILLED slot from a stale done flag (the stale chunk
+        still reports the old utterance done after its slot was reused).
+        """
         queue = list(requests)
         queue.reverse()  # pop from the end
         results: List[Result] = []
         state = self.init_state(self.params)
         slot_uid: List[Optional[Any]] = [None] * self.B
+        gen = [0] * self.B  # bumped on every admission into the slot
 
         A = self.A
         fshape = (
@@ -376,8 +394,7 @@ class ContinuousServer:
         img_bufs = [np.zeros((A, t, d), np.float32) for t, d in self.img_shapes]
         img_mask_bufs = [np.ones((A, t), bool) for t, d in self.img_shapes]
 
-        while queue or any(u is not None for u in slot_uid):
-            # ---- admit into free slots, in waves of ≤ A rows ----
+        def admit_waves(state):
             free = [b for b in range(self.B) if slot_uid[b] is None]
             while queue and free:
                 wave, free = free[:A], free[A:]
@@ -388,6 +405,7 @@ class ContinuousServer:
                         break
                     req = queue.pop()
                     slot_uid[b] = req.uid
+                    gen[b] += 1
                     slot_idx[a], valid[a] = b, True
                     Tq = min(req.features.shape[0], self.enc_frames)
                     feats_buf[a] = 0.0
@@ -413,32 +431,24 @@ class ContinuousServer:
                     jnp.asarray(valid), enc_out, enc_mask,
                     jnp.asarray(len_buf),
                 )
+            return state
 
-            # ---- decode one chunk ----
-            state, done = self._decode_chunk(self.params, state)
-            done = np.asarray(done)
+        def drain(chunk_state, done_dev, dispatch_gen):
+            """Sync on a completed chunk's done flags; emit finishers.
+            Returns the (host) done array for deactivation."""
+            done = np.asarray(done_dev)
             if done.any():
                 # Gather ONLY the finished slots' top hypotheses on
-                # device before fetching: the full (B, K, ring) buffer is
-                # ~640 KB at slots=64 and rides the dev-tunnel on most
-                # chunks of a mixed-length workload; the gathered rows
-                # are a few KB.
+                # device before fetching: the full (B, K, ring) buffer
+                # is ~640 KB at slots=64 and rides the dev-tunnel on
+                # most chunks; the gathered rows are a few KB.
                 idx = np.nonzero(done)[0]
                 idx_dev = jnp.asarray(idx)
-                fin_seq = np.asarray(state["fin_seq"][idx_dev, 0])
-                fin_scores = np.asarray(state["fin_scores"][idx_dev, 0])
-                deact = jnp.asarray(done)
-                state = {
-                    **state,
-                    "active": jnp.logical_and(state["active"], ~deact),
-                    # freeze drained slots' alive set so they stop competing
-                    "alive_logp": jnp.where(
-                        deact[:, None], NEG_INF, state["alive_logp"]
-                    ),
-                }
+                fin_seq = np.asarray(chunk_state["fin_seq"][idx_dev, 0])
+                fin_scores = np.asarray(chunk_state["fin_scores"][idx_dev, 0])
                 for j, b in enumerate(idx):
-                    if slot_uid[b] is None:
-                        continue
+                    if slot_uid[b] is None or dispatch_gen[b] != gen[b]:
+                        continue  # already emitted / slot since refilled
                     toks = [int(t) for t in fin_seq[j]]
                     # strip BOS, cut at EOS
                     toks = toks[1:]
@@ -448,4 +458,34 @@ class ContinuousServer:
                         Result(slot_uid[b], toks, float(fin_scores[j]))
                     )
                     slot_uid[b] = None
+            return done
+
+        inflight = None  # (chunk_output_state, done_dev, dispatch_gen)
+        pending_deact: Optional[np.ndarray] = None
+        while queue or any(u is not None for u in slot_uid):
+            if pending_deact is not None and pending_deact.any():
+                # Freeze slots drained last iteration but not refilled:
+                # stop them competing/stepping as live work.
+                deact = jnp.asarray(
+                    np.array([
+                        pending_deact[b] and slot_uid[b] is None
+                        for b in range(self.B)
+                    ])
+                )
+                state = {
+                    **state,
+                    "active": jnp.logical_and(state["active"], ~deact),
+                    "alive_logp": jnp.where(
+                        deact[:, None], NEG_INF, state["alive_logp"]
+                    ),
+                }
+            pending_deact = None
+            state = admit_waves(state)
+            new_state, done_dev = self._decode_chunk(self.params, state)
+            if inflight is not None:
+                pending_deact = drain(*inflight)
+            inflight = (new_state, done_dev, list(gen))
+            state = new_state
+        if inflight is not None:
+            drain(*inflight)
         return results
