@@ -32,6 +32,15 @@ def on_tpu() -> bool:
     return jax.devices()[0].platform not in ("cpu", "gpu")
 
 
+# Opt-in fused Pallas backward (measured slightly behind XLA recompute on
+# v5e — see _flash_bwd). Read ONCE at import: the custom-VJP trace is
+# cached by the enclosing jit, so a post-trace env flip would silently do
+# nothing; process-start scope makes A/B timing honest.
+import os as _os  # noqa: E402
+
+FLASH_BWD_PALLAS = _os.environ.get("MM_FLASH_BWD", "") == "pallas"
+
+
 # Counter-based dropout hash (attention-weight dropout inside the fused
 # kernel): the keep/drop decision for weight (bh, q, k) is a pure integer
 # mix of its absolute coordinates and a per-call seed, so the Pallas
@@ -169,13 +178,90 @@ def _attn_kernel(
     ).astype(o_ref.dtype)
 
 
+def _attn_kernel_causal_skip(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, logits_scr,
+    *, scale: float, block_q: int, block_k: int, window: int,
+    dropout_rate: float, nb: int,
+):
+    """Causal forward with k-block skipping: query block i only computes
+    score/context GEMMs against key blocks that intersect its allowed
+    band [q0 − window, q0 + block_q), skipping the strictly-above-diagonal
+    rectangle the dense kernel paid for (≈2× of the attention FLOPs at
+    full causal; more with a bounded window). K/V stay fully VMEM-resident
+    (same DMA as the dense kernel — the waste removed is MXU work); the
+    softmax runs once over the full width from a NEG_INF-initialized
+    scratch, so no online-softmax state is needed."""
+    i = pl.program_id(1)
+    q0 = i * block_q
+    S = k_ref.shape[1]
+    nkb = S // block_k
+    # Key blocks [lo, hi) intersect the allowed band.
+    hi = jnp.minimum((q0 + block_q + block_k - 1) // block_k, nkb)
+    lo = jnp.maximum(q0 - window, 0) // block_k if window > 0 else 0
+    logits_scr[:] = jnp.full((nb, block_q, S), NEG_INF, jnp.float32)
+
+    def fill(j, _):
+        kj = k_ref[:, pl.ds(j * block_k, block_k), :]
+        lj = jax.lax.dot_general(
+            q_ref[:], kj, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        logits_scr[:, :, pl.ds(j * block_k, block_k)] = lj
+        return 0
+
+    jax.lax.fori_loop(lo, hi, fill, 0)
+    logits = logits_scr[:] * scale + bias_ref[:]
+    qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (nb, block_q, S), 1)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (nb, block_q, S), 2)
+    allowed = kpos <= qpos
+    if window > 0:
+        allowed = jnp.logical_and(allowed, kpos > qpos - window)
+    logits = jnp.where(allowed, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    w = p / denom
+    if dropout_rate > 0.0:
+        bh = (
+            jnp.uint32(pl.program_id(0) * nb)
+            + jax.lax.broadcasted_iota(jnp.uint32, (nb, block_q, S), 0)
+        )
+        qpos_u = qpos.astype(jnp.uint32)
+        kpos_u = kpos.astype(jnp.uint32)
+        keep = dropout_keep(bh, qpos_u, kpos_u, seed_ref[0, 0], dropout_rate)
+        w = jnp.where(keep, w, 0.0) * (1.0 / (1.0 - dropout_rate))
+    w = w.astype(v_ref.dtype)
+
+    def ctx(j, acc):
+        wj = jax.lax.dynamic_slice_in_dim(w, j * block_k, block_k, axis=2)
+        vj = v_ref[:, pl.ds(j * block_k, block_k), :]
+        return acc + jax.lax.dot_general(
+            wj, vj, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        lo, hi, ctx, jnp.zeros((nb, block_q, q_ref.shape[2]), jnp.float32)
+    )
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _causal_block_k(S: int) -> int:
+    """Largest lane-aligned key-block size dividing S (0 = no clean
+    blocking; the dense kernel handles it)."""
+    for bk in (512, 256, 128):
+        if S % bk == 0:
+            return bk
+    return 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "interpret", "causal", "window",
-                     "dropout_rate"),
+                     "dropout_rate", "block_k"),
 )
 def _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
-                causal=False, window=0, dropout_rate=0.0):
+                causal=False, window=0, dropout_rate=0.0, block_k=None):
     B, Tq, H, D = q.shape
     S = k.shape[1]
     # Lay out (B*H) on the leading grid axis; per head: (Tq, D) x (S, D).
@@ -186,36 +272,62 @@ def _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
     seed_arr = jnp.reshape(seed.astype(jnp.uint32), (1, 1))
 
     # Head-axis blocking: nb batch·head rows per program, VMEM-capped —
-    # q/k/v/bias tiles + two fp32 (block_q, S) intermediates per row.
+    # q/k/v/bias tiles + fp32 (block_q, S) intermediates per row (the
+    # causal-skip kernel adds a scratch logits buffer).
+    bk0 = _causal_block_k(S) if block_k is None else block_k
+    n_inter = 3 if (causal and bk0 and S % bk0 == 0) else 2
     per_row = (
         (block_q * D + 2 * S * D) * q.dtype.itemsize
         + S * (q.dtype.itemsize + 4)
-        + 2 * block_q * S * 4
+        + n_inter * block_q * S * 4
     )
     nb = max(1, min(B * H, int(6e6) // max(per_row, 1)))
     while (B * H) % nb:
         nb -= 1
 
     grid = ((B * H) // nb, pl.cdiv(Tq, block_q))
-    out = pl.pallas_call(
-        functools.partial(
-            _attn_kernel, scale=scale, block_q=block_q,
-            causal=causal, window=window, dropout_rate=dropout_rate, nb=nb,
+    in_specs = [
+        pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0)),
+        pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
+        pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
+        pl.BlockSpec((nb, 1, S), lambda h, i: (h, 0, 0)),
+        pl.BlockSpec(
+            (1, 1), lambda h, i: (0, 0), memory_space=pltpu.SMEM
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0)),
-            pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
-            pl.BlockSpec((nb, S, D), lambda h, i: (h, 0, 0)),
-            pl.BlockSpec((nb, 1, S), lambda h, i: (h, 0, 0)),
-            pl.BlockSpec(
-                (1, 1), lambda h, i: (0, 0), memory_space=pltpu.SMEM
+    ]
+    out_spec = pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0))
+    bk = bk0
+    if causal and bk and S % bk == 0:
+        # k-block skipping: ~2× fewer attention FLOPs under a causal
+        # mask (more with a window) — the dense kernel computed the full
+        # rectangle and lost to XLA's fused path at causal probe shapes
+        # (PLAN.md round-4, 3.55 vs 1.96 ms at B=16 T=512).
+        out = pl.pallas_call(
+            functools.partial(
+                _attn_kernel_causal_skip, scale=scale, block_q=block_q,
+                block_k=bk, window=window, dropout_rate=dropout_rate,
+                nb=nb,
             ),
-        ],
-        out_specs=pl.BlockSpec((nb, block_q, D), lambda h, i: (h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
-        interpret=interpret,
-    )(qh, kh, vh, biash, seed_arr)
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
+            scratch_shapes=[pltpu.VMEM((nb, block_q, S), jnp.float32)],
+            interpret=interpret,
+        )(qh, kh, vh, biash, seed_arr)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _attn_kernel, scale=scale, block_q=block_q,
+                causal=causal, window=window, dropout_rate=dropout_rate,
+                nb=nb,
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
+            interpret=interpret,
+        )(qh, kh, vh, biash, seed_arr)
     return out.reshape(B, H, Tq, D).transpose(0, 2, 1, 3)
 
 
@@ -415,12 +527,9 @@ def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
     # long-source shape (15.1 vs 14.8 at S=1000) — XLA hides the (T, T)
     # HBM round trips behind the surrounding GEMMs at these sizes.
     # Recorded negative result; the kernel stays as an opt-in
-    # (MM_FLASH_BWD=pallas) for memory-bound regimes and remains the
-    # interpret-mode test target.
-    import os as _os
-
-    use_kernel = _os.environ.get("MM_FLASH_BWD", "") == "pallas"
-    if interpret or (on_tpu() and use_kernel):
+    # (MM_FLASH_BWD=pallas, read at import — FLASH_BWD_PALLAS) for
+    # memory-bound regimes and remains the interpret-mode test target.
+    if interpret or (on_tpu() and FLASH_BWD_PALLAS):
         # Fused Pallas backward: recompute softmax per tile + the four
         # VJP matmuls in one pass — the (T, T) logits of the XLA
         # recompute path never touch HBM.
@@ -429,6 +538,18 @@ def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
             causal, window, dropout_rate,
         )
         return dq, dk, dv, dbias, dseed
+    dq, dk, dv, dbias = _flash_bwd_xla(
+        q, k, v, bias, seed, g, scale, causal, window, dropout_rate
+    )
+    return dq, dk, dv, dbias, dseed
+
+
+def _flash_bwd_xla(q, k, v, bias, seed, g, scale, causal, window,
+                   dropout_rate):
+    """Default production backward: XLA dense recompute + VJP. The
+    counter-based dropout hash regenerates the forward kernel's exact
+    mask from (seed, coordinates) — tested directly against the Pallas
+    backward in tests/test_attention.py."""
     _, vjp = jax.vjp(
         lambda q, k, v, bias: reference_attention(
             q * scale, k, v, bias, causal=causal, window=window,
@@ -436,8 +557,7 @@ def _flash_bwd(scale, block_q, interpret, causal, window, dropout_rate,
         ),
         q, k, v, bias,
     )
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias, dseed
+    return vjp(g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

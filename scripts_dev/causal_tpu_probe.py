@@ -1,6 +1,9 @@
 """On-chip check of the causal/window flash-attention kernel (the CPU
 tests run it in interpret mode; this validates the compiled Mosaic path)
-plus a timing comparison vs the XLA folded-bias route at encoder shape.
+plus a timing comparison: k-block-skipping kernel (the causal default)
+vs the dense-rectangle kernel vs the XLA folded-bias route, at
+T ∈ {512, 2000, 4000} (VERDICT r4 #3 asks the dispatched path ≤ XLA at
+all three).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts_dev/causal_tpu_probe.py
 """
@@ -14,15 +17,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mm_s2ut.ops.attention import flash_attention, reference_attention
+from mm_s2ut.ops.attention import (
+    _causal_block_k, _flash_call, flash_attention, reference_attention,
+)
 
+
+def timeit(fn, *args, reps=50):
+    fn(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+# Correctness on chip at the round-4 probe shape.
 B, T, H, D = 16, 512, 8, 64
 q = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D), jnp.bfloat16)
 k = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D), jnp.bfloat16)
 v = jax.random.normal(jax.random.PRNGKey(3), (B, T, H, D), jnp.bfloat16)
 mask = jnp.zeros((B, T), bool).at[1, T - 77 :].set(True)
 bias = jnp.where(mask, -1e9, 0.0)[:, None, None, :]
-
 for window in (0, 128):
     got = np.asarray(
         flash_attention(q, k, v, key_padding_mask=mask, causal=True, window=window)
@@ -31,18 +46,37 @@ for window in (0, 128):
         reference_attention(q * D**-0.5, k, v, bias, causal=True, window=window)
     ).astype(np.float32)
     err = np.abs(got - want).max()
-    print(f"window={window}: max |flash - ref| = {err:.3e}")
+    print(f"T={T} window={window}: max |flash - ref| = {err:.3e}")
     assert err < 3e-2, err  # bf16 inputs
 
-fl = jax.jit(lambda q, k, v: flash_attention(
-    q, k, v, key_padding_mask=mask, causal=True))
-xl = jax.jit(lambda q, k, v: reference_attention(
-    q * D**-0.5, k, v, bias, causal=True))
-for name, fn in (("flash", fl), ("xla", xl)):
-    fn(q, k, v).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(50):
-        out = fn(q, k, v)
-    out.block_until_ready()
-    print(f"{name}: {(time.perf_counter() - t0) / 50 * 1e3:.3f} ms/call")
+# Timing sweep. B scaled down with T to keep the XLA dense (B,H,T,T)
+# logits in memory at T=4000.
+for Bt, Tt in ((16, 512), (4, 2000), (2, 4000)):
+    qt = jax.random.normal(jax.random.PRNGKey(1), (Bt, Tt, H, D), jnp.bfloat16)
+    kt = jax.random.normal(jax.random.PRNGKey(2), (Bt, Tt, H, D), jnp.bfloat16)
+    vt = jax.random.normal(jax.random.PRNGKey(3), (Bt, Tt, H, D), jnp.bfloat16)
+    maskt = jnp.zeros((Bt, Tt), bool)
+    biast = jnp.zeros((Bt, 1, 1, Tt))
+    seed = jnp.asarray(0, jnp.uint32)
+    bk = _causal_block_k(Tt)
+
+    skip = jax.jit(lambda q, k, v: _flash_call(
+        q, k, v, biast, seed, D**-0.5, 128, False, causal=True))
+    dense = jax.jit(lambda q, k, v: _flash_call(
+        q, k, v, biast, seed, D**-0.5, 128, False, causal=True, block_k=0))
+    xl = jax.jit(lambda q, k, v: reference_attention(
+        q * D**-0.5, k, v, biast, causal=True))
+
+    t_skip = timeit(skip, qt, kt, vt)
+    t_dense = timeit(dense, qt, kt, vt)
+    t_xla = timeit(xl, qt, kt, vt)
+    a, b = np.asarray(skip(qt, kt, vt)).astype(np.float32), np.asarray(
+        dense(qt, kt, vt)
+    ).astype(np.float32)
+    err = np.abs(a - b).max()
+    verdict = "skip<=xla OK" if t_skip <= t_xla * 1.02 else "SKIP LOSES"
+    print(
+        f"B={Bt} T={Tt} bk={bk}: skip {t_skip:.3f} ms  dense {t_dense:.3f}"
+        f"  xla {t_xla:.3f}  (skip==dense err {err:.2e})  {verdict}"
+    )
 print("CAUSAL PROBE OK")

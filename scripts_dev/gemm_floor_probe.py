@@ -37,7 +37,7 @@ def marginal(make, n_small=20, n_big=220, reps=3):
         fns[n]()
         return time.perf_counter() - t0
 
-    return two_point_marginal(timed, n_small, n_big, reps)
+    return two_point_marginal(timed, n_small, n_big, reps)[0]
 
 
 def main():

@@ -32,7 +32,7 @@ def run(tag, cfg, B=None, T=None, Tt=None):
     T = T or int(os.environ.get("PROBE_T", "1000"))
     Tt = Tt or int(os.environ.get("PROBE_TT", "100"))
     model = MMS2UTModel(cfg)
-    ms = train_step_ms(model, cfg, B=B, T_src=T, Tt=Tt)
+    ms, _ = train_step_ms(model, cfg, B=B, T_src=T, Tt=Tt)
     mfu = 100 * train_flops(B, T, Tt, cfg) / (ms / 1e3) / PEAK_BF16_FLOPS
     print(f"{tag:40s} B={B} T={T} {ms:8.2f} ms/step   MFU {mfu:5.2f}%",
           flush=True)

@@ -46,7 +46,7 @@ def scan_marginal_ms(make_scan, n_small=2, n_big=22, reps=3):
         fns[n]()
         return time.perf_counter() - t0
 
-    return two_point_marginal(timed, n_small, n_big, reps) * 1e3
+    return two_point_marginal(timed, n_small, n_big, reps)[0] * 1e3
 
 
 def main():

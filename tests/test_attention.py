@@ -227,6 +227,83 @@ def test_flash_dropout_grad_uses_same_mask():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("window", [0, 24])
+@pytest.mark.parametrize("tq", [64, 40])
+def test_causal_skip_kernel_matches_reference(window, tq):
+    """The k-block-skipping causal kernel (skips strictly-above-diagonal
+    key blocks) equals the reference for full-causal and windowed masks,
+    including a ragged final q-block."""
+    from mm_s2ut.ops.attention import _flash_call
+
+    B, H, D, S = 2, 2, 16, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, tq, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    mask = jnp.zeros((B, S), bool).at[1, S - 9 :].set(True)
+    bias = jnp.where(mask, NEG_INF, 0.0)[:, None, None, :]
+    seed = jnp.asarray(0, jnp.uint32)
+    got = _flash_call(
+        q, k, v, bias, seed, D**-0.5, 16, True, causal=True,
+        window=window, block_k=16,
+    )
+    want = reference_attention(
+        q * D**-0.5, k, v, bias, causal=True, window=window
+    )[:, :tq]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_causal_skip_kernel_dropout_mask_parity():
+    """Dropout inside the skip kernel regenerates the same hash mask as
+    the reference (the backward recompute's contract)."""
+    from mm_s2ut.ops.attention import _flash_call
+
+    B, T, H, D = 2, 32, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    bias = jnp.zeros((B, 1, 1, T))
+    seed = jnp.asarray(7, jnp.uint32)
+    got = _flash_call(
+        q, k, v, bias, seed, D**-0.5, 16, True, causal=True,
+        dropout_rate=0.2, block_k=16,
+    )
+    want = reference_attention(
+        q * D**-0.5, k, v, bias, causal=True,
+        dropout_rate=0.2, dropout_seed=seed,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_flash_bwd_xla_path_dropout_parity():
+    """The default production backward (_flash_bwd_xla: dense recompute +
+    VJP with the hash-dropout seed) regenerates the forward kernel's
+    dropout mask — asserted DIRECTLY against the Pallas backward kernel
+    with the same seed, not just transitively via forward-mask tests."""
+    from mm_s2ut.ops.attention import _flash_bwd_call, _flash_bwd_xla
+
+    B, T, S, H, D = 2, 32, 32, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, T, H, D))
+    bias = jnp.zeros((B, 1, 1, S))
+    seed = jnp.asarray(123, jnp.uint32)
+    scale = D**-0.5
+
+    want = _flash_bwd_call(
+        q, k, v, bias, seed, g, scale, 16, True, False, 0, 0.2
+    )
+    got = _flash_bwd_xla(q, k, v, bias, seed, g, scale, False, 0, 0.2)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+
+
 def test_flash_bwd_ragged_qlen_rows_masked():
     """Tq not a block multiple: the bwd kernel's padded q-rows must not
     leak garbage into the accumulated dK/dV (row-validity mask)."""
