@@ -438,24 +438,25 @@ class ContinuousServer:
             Returns the (host) done array for deactivation."""
             done = np.asarray(done_dev)
             if done.any():
-                # Gather ONLY the finished slots' top hypotheses on
-                # device before fetching: the full (B, K, ring) buffer
-                # is ~640 KB at slots=64 and rides the dev-tunnel on
-                # most chunks; the gathered rows are a few KB.
+                # Fetch the top-beam rows at a FIXED shape: (B, ring)
+                # int32 is ~64 KB at slots=64 — one jit-cached slice. The
+                # round-4 variable-width gather (finished rows only) cost
+                # less bandwidth but compiled a fresh gather program for
+                # every distinct finisher count (~1-2 s each through the
+                # relay), which dominated wall time on real workloads.
                 idx = np.nonzero(done)[0]
-                idx_dev = jnp.asarray(idx)
-                fin_seq = np.asarray(chunk_state["fin_seq"][idx_dev, 0])
-                fin_scores = np.asarray(chunk_state["fin_scores"][idx_dev, 0])
-                for j, b in enumerate(idx):
+                fin_seq = np.asarray(chunk_state["fin_seq"][:, 0])
+                fin_scores = np.asarray(chunk_state["fin_scores"][:, 0])
+                for b in idx:
                     if slot_uid[b] is None or dispatch_gen[b] != gen[b]:
                         continue  # already emitted / slot since refilled
-                    toks = [int(t) for t in fin_seq[j]]
+                    toks = [int(t) for t in fin_seq[b]]
                     # strip BOS, cut at EOS
                     toks = toks[1:]
                     if self.eos in toks:
                         toks = toks[: toks.index(self.eos)]
                     results.append(
-                        Result(slot_uid[b], toks, float(fin_scores[j]))
+                        Result(slot_uid[b], toks, float(fin_scores[b]))
                     )
                     slot_uid[b] = None
             return done

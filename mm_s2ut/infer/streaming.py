@@ -282,6 +282,19 @@ class StreamingEncoderSession:
         self.outputs.append(out)
         return out
 
+    def reset(self) -> None:
+        """Start a new stream on the SAME session: per-stream state is
+        cleared while every compiled program is kept (a fresh session
+        would re-pay per-shape jit compiles — chunk 0/1, the short tail
+        feed, measured at seconds each through the relay). Cache buffers
+        are reused without zeroing: the block bias only ever admits
+        columns j ≤ pos_q, all of which the new stream has re-written."""
+        for c in self.caches:
+            c["index"] = jnp.zeros((), jnp.int32)
+        self.n_frames = 0
+        self.emitted = 0
+        self.outputs = []
+
     def feed(self, chunk: np.ndarray) -> np.ndarray:
         """Add (B, T ≤ chunk_frames, F); returns the new mature encoder
         rows (B, n_new, D) — exactly the offline causal encoder's rows
@@ -522,6 +535,15 @@ class StreamingS2ST:
             jnp.asarray(ptoks), jnp.asarray(plen),
         )
         return self._hyp_from_seqs(seqs)
+
+    def reset(self) -> None:
+        """Start the next utterance on the same session, keeping every
+        compiled program (jitted closures are per-instance; a fresh
+        session re-pays chunk-0/1, tail-feed and finalize compiles)."""
+        self.enc.reset()
+        self.committed = []
+        self._prev_hyp = []
+        self._feeds = 0
 
     def feed(self, chunk: np.ndarray) -> List[int]:
         """(1, T ≤ chunk_frames, 80) → newly COMMITTED units (may be

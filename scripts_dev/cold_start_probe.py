@@ -4,10 +4,14 @@ generation program, with and without a primed persistent compile cache.
 Run twice in separate processes (the point is cross-process reuse):
 
   python scripts_dev/cold_start_probe.py prime   # cold compile, fills cache
+                                                 # + serializes AOT execs
   python scripts_dev/cold_start_probe.py cold    # fresh process, primed cache
+  python scripts_dev/cold_start_probe.py aot     # fresh process, loads the
+                                                 # serialized executables —
+                                                 # no tracing, no compile
 
 Cache dir: MM_COLD_CACHE (default /tmp/mm_s2ut_cold_cache). Delete it to
-re-measure the unprimed path.
+re-measure the unprimed path. AOT dir: {cache}/aot.
 """
 import os
 import sys
@@ -53,8 +57,17 @@ def main():
         GenerationConfig(beam=beam, max_len_a=0.0, max_len_b=200,
                          kv_cache_dtype="int8"),
     )
+    if mode == "aot":
+        n = gen.aot_load(f"{CACHE}/aot")
+        print(f"[aot] loaded {n} operating points "
+              f"(+{time.perf_counter() - t_init:.1f}s)", flush=True)
+        assert n >= 1, "run `prime` first"
     gen.generate(feats, lens, imgs, masks)
     t_done = time.perf_counter()
+    if mode == "prime":
+        gen.aot_save(f"{CACHE}/aot", B, 1000, img_shapes=((577, 768),))
+        print(f"[prime] AOT serialized (+{time.perf_counter() - t_done:.1f}s)",
+              flush=True)
     print(
         f"[{mode}] init {t_init - t0:.1f}s  first-batch "
         f"(trace+compile+run) {t_done - t_init:.1f}s  total {t_done - t0:.1f}s  "

@@ -314,6 +314,42 @@ def test_streaming_s2st_prefix_reuse():
     assert final == offline, (final, offline)
 
 
+def test_streaming_session_reset_reuses_programs():
+    """srv.reset() between utterances gives the same committed/final
+    results as a fresh session (compiled programs are reused, state is
+    not leaked across streams)."""
+    from mm_s2ut.infer.streaming import StreamingS2ST
+
+    model, params, feats, T = _tiny_flagship()
+    CHUNK, MAXLEN = 16, 10
+    rng = np.random.RandomState(7)
+    feats2 = rng.randn(1, T, 80).astype(np.float32)
+
+    def stream(srv, f):
+        committed = []
+        for start in range(0, T, CHUNK):
+            committed += srv.feed(f[:, start : start + CHUNK])
+        return committed, srv.finalize()
+
+    srv = StreamingS2ST(
+        model, params, chunk_frames=CHUNK, max_frames=64, beam=2,
+        max_len=MAXLEN, prefix_reuse=True, max_new_tokens=6,
+    )
+    got1 = stream(srv, feats)
+    srv.reset()
+    got2 = stream(srv, feats2)
+    srv.reset()
+    got1_again = stream(srv, feats)
+
+    fresh = StreamingS2ST(
+        model, params, chunk_frames=CHUNK, max_frames=64, beam=2,
+        max_len=MAXLEN, prefix_reuse=True, max_new_tokens=6,
+    )
+    want2 = stream(fresh, feats2)
+    assert got2 == want2
+    assert got1 == got1_again
+
+
 @pytest.mark.slow
 def test_stream_cli_end_to_end(tmp_path):
     """Train a tiny causal-encoder checkpoint, run the streaming CLI on a
