@@ -195,10 +195,12 @@ def _attn_kernel_causal_skip(
     q0 = i * block_q
     S = k_ref.shape[1]
     nkb = S // block_k
-    # Key blocks [lo, hi) intersect the allowed band.
+    # Key blocks [lo, hi) intersect the allowed band. No scratch init is
+    # needed: every column outside [lo·bk, hi·bk) is outside the
+    # causal/window band by construction, so the explicit mask below
+    # kills whatever garbage the unfilled scratch holds.
     hi = jnp.minimum((q0 + block_q + block_k - 1) // block_k, nkb)
     lo = jnp.maximum(q0 - window, 0) // block_k if window > 0 else 0
-    logits_scr[:] = jnp.full((nb, block_q, S), NEG_INF, jnp.float32)
 
     def fill(j, _):
         kj = k_ref[:, pl.ds(j * block_k, block_k), :]
@@ -230,10 +232,13 @@ def _attn_kernel_causal_skip(
         kpos_u = kpos.astype(jnp.uint32)
         keep = dropout_keep(bh, qpos_u, kpos_u, seed_ref[0, 0], dropout_rate)
         w = jnp.where(keep, w, 0.0) * (1.0 / (1.0 - dropout_rate))
-    w = w.astype(v_ref.dtype)
+    # Mosaic has no dynamic_slice on register values: round-trip the
+    # weights through the VMEM scratch so the context loop can take
+    # pl.ds ref slices per key block.
+    logits_scr[:] = w
 
     def ctx(j, acc):
-        wj = jax.lax.dynamic_slice_in_dim(w, j * block_k, block_k, axis=2)
+        wj = logits_scr[:, :, pl.ds(j * block_k, block_k)].astype(v_ref.dtype)
         vj = v_ref[:, pl.ds(j * block_k, block_k), :]
         return acc + jax.lax.dot_general(
             wj, vj, (((2,), (1,)), ((0,), (0,))),
@@ -247,10 +252,12 @@ def _attn_kernel_causal_skip(
 
 
 def _causal_block_k(S: int) -> int:
-    """Largest lane-aligned key-block size dividing S (0 = no clean
-    blocking; the dense kernel handles it)."""
+    """Key-block size for the causal-skip kernel: lane-aligned, dividing
+    S, with ≥4 blocks so there is actually work to skip (a 1-2 block
+    grid pays the scratch round-trip for no FLOP savings — measured a
+    2× LOSS at S=512/bk=512). 0 = use the dense kernel."""
     for bk in (512, 256, 128):
-        if S % bk == 0:
+        if S % bk == 0 and S // bk >= 4:
             return bk
     return 0
 
@@ -264,6 +271,30 @@ def _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
                 causal=False, window=0, dropout_rate=0.0, block_k=None):
     B, Tq, H, D = q.shape
     S = k.shape[1]
+    # Causal dispatch — MEASURED on v5e (scripts_dev/causal_tpu_probe.py,
+    # min-of-rounds timing): the dense kernel beats XLA's folded-bias
+    # route at T ∈ {512, 2000, 4000} (0.88 vs 0.90 / 1.06 vs 2.11 /
+    # 1.70 vs 8.21 ms), and ALSO beats the k-block-skipping variant at
+    # T ≥ 2000 (skip 1.55/2.20) — the scratch round-trips outweigh the
+    # halved GEMM work at D=64. (The round-4 "flash loses to XLA" probe
+    # lacked min-of-rounds and was relay-inflated.) Default: dense;
+    # ``block_k`` opts into the skip kernel, with key-axis padding to a
+    # block multiple — padded keys sit at kpos ≥ S > every qpos, so the
+    # in-kernel causal mask kills them (bias padded NEG_INF as well).
+    if block_k is None:
+        bk0 = 0
+    else:
+        bk0 = block_k
+    if causal and bk0 and S % bk0:
+        S_pad = -(-S // bk0) * bk0
+        pad = ((0, 0), (0, S_pad - S), (0, 0), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        bias = jnp.pad(
+            bias, ((0, 0), (0, 0), (0, 0), (0, S_pad - S)),
+            constant_values=NEG_INF,
+        )
+        S = S_pad
     # Lay out (B*H) on the leading grid axis; per head: (Tq, D) x (S, D).
     qh = q.transpose(0, 2, 1, 3).reshape(B * H, Tq, D)
     kh = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
@@ -274,7 +305,6 @@ def _flash_call(q, k, v, bias, seed, scale, block_q, interpret,
     # Head-axis blocking: nb batch·head rows per program, VMEM-capped —
     # q/k/v/bias tiles + fp32 (block_q, S) intermediates per row (the
     # causal-skip kernel adds a scratch logits buffer).
-    bk0 = _causal_block_k(S) if block_k is None else block_k
     n_inter = 3 if (causal and bk0 and S % bk0 == 0) else 2
     per_row = (
         (block_q * D + 2 * S * D) * q.dtype.itemsize

@@ -188,12 +188,27 @@ def build_corpus(root: Path, rng, n_train=48, n_eval=8):
     save_yaml(cfg, root / "run.yaml")
 
 
+
+def _bleu_score(line: str) -> float:
+    """First number after 'BLEU' in a sacre-style line ('BLEU = 96.85 ...')."""
+    import re as _re
+
+    m = _re.search(r"BLEU[^0-9]*([0-9.]+)", line)
+    if not m:
+        raise ValueError(f"no BLEU score in {line!r}")
+    return float(m.group(1))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/parity_enh")
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse an existing checkpoint in --root")
+    ap.add_argument("--canary", action="store_true",
+                    help="after the clean run, re-run the chain with the "
+                    "first hypothesis word dropped at the extraction seam "
+                    "and FAIL unless text BLEU collapses")
     ap.add_argument("--cpu", action="store_true",
                     help="force jax onto CPU (the models here are tiny)")
     args = ap.parse_args(argv)
@@ -230,9 +245,43 @@ def main(argv=None):
         return rc
 
     print("== summary ==")
+    clean = {}
     for subset in ("valid", "test"):
         bleu_line = (results_root / subset / "bleu.txt").read_text().strip()
+        clean[subset] = _bleu_score(bleu_line)
         print(f"{subset}: text {bleu_line}")
+
+    if args.canary:
+        # Sensitivity canary (VERDICT r4 weak #8): drop each hypothesis's
+        # first word at the extraction seam; text BLEU must collapse or
+        # the acceptance chain is not measuring its own hypotheses.
+        print("== canary (drop first hyp word) ==", flush=True)
+        os.environ["MM_PARITY_CANARY"] = "droptok"
+        try:
+            canary_root = root / "results_canary"
+            rc = infall_main([
+                "--model_path", str(root / "ckpt"),
+                "--mode", "text",
+                "--subsets", "test",
+                "--results-root", str(canary_root),
+                "--reference-root", str(root / "refs"),
+                "--beam", "10",
+            ])
+        finally:
+            del os.environ["MM_PARITY_CANARY"]
+        if rc != 0:
+            return rc
+        fault = _bleu_score((canary_root / "test" / "bleu.txt").read_text())
+        # One dropped word per ~8-word sentence costs ~18 BLEU here —
+        # far outside the acceptance drift band (the clean chain scores
+        # an exact 100.00); ≥10 points is an unambiguous sensitivity
+        # signal for this fault size (the unit-world canary corrupts
+        # EVERY token and demands a ≥30-point collapse).
+        moved = fault < clean["test"] - 10.0
+        print(f"canary: clean {clean['test']:.2f} -> faulted {fault:.2f} "
+              f"({'COLLAPSED OK' if moved else 'DID NOT MOVE - CHAIN INSENSITIVE'})")
+        if not moved:
+            return 3
     return 0
 
 

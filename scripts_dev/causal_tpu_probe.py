@@ -23,12 +23,17 @@ from mm_s2ut.ops.attention import (
 
 
 def timeit(fn, *args, reps=50):
+    """min over 3 rounds of the reps-average (relay hiccups inflate
+    single rounds by seconds; min-of-rounds is the honest estimator)."""
     fn(*args).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / reps * 1e3
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / reps * 1e3)
+    return best
 
 
 # Correctness on chip at the round-4 probe shape.
@@ -58,25 +63,24 @@ for Bt, Tt in ((16, 512), (4, 2000), (2, 4000)):
     maskt = jnp.zeros((Bt, Tt), bool)
     biast = jnp.zeros((Bt, 1, 1, Tt))
     seed = jnp.asarray(0, jnp.uint32)
-    bk = _causal_block_k(Tt)
+    bk = _causal_block_k(-(-Tt // 128) * 128)
 
-    skip = jax.jit(lambda q, k, v: _flash_call(
+    default = jax.jit(lambda q, k, v: _flash_call(
         q, k, v, biast, seed, D**-0.5, 128, False, causal=True))
-    dense = jax.jit(lambda q, k, v: _flash_call(
-        q, k, v, biast, seed, D**-0.5, 128, False, causal=True, block_k=0))
+    skip = jax.jit(lambda q, k, v: _flash_call(
+        q, k, v, biast, seed, D**-0.5, 128, False, causal=True, block_k=bk))
     xl = jax.jit(lambda q, k, v: reference_attention(
         q * D**-0.5, k, v, biast, causal=True))
 
-    t_skip = timeit(skip, qt, kt, vt)
-    t_dense = timeit(dense, qt, kt, vt)
+    t_def = timeit(default, qt, kt, vt)
+    t_skip = timeit(skip, qt, kt, vt) if bk else float("nan")
     t_xla = timeit(xl, qt, kt, vt)
-    a, b = np.asarray(skip(qt, kt, vt)).astype(np.float32), np.asarray(
-        dense(qt, kt, vt)
-    ).astype(np.float32)
+    a = np.asarray(default(qt, kt, vt)).astype(np.float32)
+    b = np.asarray(skip(qt, kt, vt)).astype(np.float32) if bk else a
     err = np.abs(a - b).max()
-    verdict = "skip<=xla OK" if t_skip <= t_xla * 1.02 else "SKIP LOSES"
+    verdict = "default<=xla OK" if t_def <= t_xla * 1.02 else "DEFAULT LOSES"
     print(
-        f"B={Bt} T={Tt} bk={bk}: skip {t_skip:.3f} ms  dense {t_dense:.3f}"
-        f"  xla {t_xla:.3f}  (skip==dense err {err:.2e})  {verdict}"
+        f"B={Bt} T={Tt} bk={bk}: default(dense) {t_def:.3f} ms  "
+        f"skip {t_skip:.3f}  xla {t_xla:.3f}  (skip==dense err {err:.2e})  {verdict}"
     )
 print("CAUSAL PROBE OK")
