@@ -52,9 +52,13 @@ def main():
                        dataclasses.replace(
                            base, attention_dropout=0.0, dropout=0.0,
                            activation_dropout=0.0)),
+        "resid0": ("residual dropout=0 only",
+                   dataclasses.replace(base, dropout=0.0)),
+        "act0": ("activation dropout=0 only",
+                 dataclasses.replace(base, activation_dropout=0.0)),
     }
     for key, (tag, cfg) in configs.items():
-        if which in (key, "all"):
+        if which in (key, "all") or key in sys.argv[1:]:
             run(tag, cfg)
 
 

@@ -3,6 +3,57 @@ Python reference with fairseq scoring semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+
+def test_generator_aot_roundtrip(tmp_path):
+    """aot_save → fresh generator → aot_load: the deserialized
+    executables produce the same hypotheses as the jitted path, with no
+    tracing of the search in the loading process path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mm_s2ut.config import GenerationConfig, ModelConfig, MultimodalConfig
+    from mm_s2ut.infer.generator import UnitGenerator
+    from mm_s2ut.models.mm_s2ut import MMS2UTModel
+
+    cfg = ModelConfig(
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        encoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, decoder_layers=1,
+        decoder_attention_heads=2, conv_channels=16, vocab_size=40,
+        dtype="float32", use_flash_attention=False,
+        multimodal=MultimodalConfig(multimodal_attention_type=None),
+    )
+    model = MMS2UTModel(cfg)
+    rng = np.random.RandomState(0)
+    B, T = 2, 48
+    feats = rng.randn(B, T, 80).astype(np.float32)
+    lengths = np.full((B,), T, np.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(lengths),
+        jnp.zeros((B, 3), jnp.int32),
+    )
+    gcfg = GenerationConfig(beam=2, max_len_a=0.0, max_len_b=8)
+
+    gen = UnitGenerator(model, params, gcfg)
+    want = gen.generate(feats, lengths)
+    gen.aot_save(tmp_path, B, T)
+
+    gen2 = UnitGenerator(model, params, gcfg)
+    assert gen2.aot_load(tmp_path) == 1
+    got = gen2.generate(feats, lengths)
+    assert [h["tokens"] for h in got[0]] == [h["tokens"] for h in want[0]]
+    assert [h["tokens"] for h in got[1]] == [h["tokens"] for h in want[1]]
+    # A non-matching shape falls back to the jitted path.
+    other = gen2.generate(feats[:, : T - 8], lengths - 8)
+    assert len(other) == B
+
+    # A generator with a different beam must NOT pick up the artifact.
+    gen3 = UnitGenerator(
+        model, params, GenerationConfig(beam=3, max_len_a=0.0, max_len_b=8)
+    )
+    assert gen3.aot_load(tmp_path) == 0
 
 from mm_s2ut.infer.beam_search import beam_search, tile_state_for_beams, trim_hypothesis
 from mm_s2ut.models.decoder import UnitDecoder
@@ -48,6 +99,7 @@ def brute_force(dec, params, enc_out, enc_mask, K, max_len, lenpen=1.0):
     return finished[:K]
 
 
+@pytest.mark.slow
 def test_beam_matches_brute_force():
     dec, params, enc_out, enc_mask = make_decoder()
     K, max_len = 3, 8
@@ -249,6 +301,7 @@ def test_int4_kv_cache_across_segment_growth():
     )
 
 
+@pytest.mark.slow
 def test_unit_generator_ensemble_decoding():
     """Logit-ensemble decoding (fairseq load_model_ensemble semantics):
     an ensemble of [p, p] is token- and score-identical to single-p

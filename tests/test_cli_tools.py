@@ -26,6 +26,7 @@ def _corpus(tmp_path, n=4):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     from mm_s2ut.cli.train import main
     from mm_s2ut.config import (
@@ -122,6 +123,16 @@ def test_extract_units_from_generate(tmp_path):
     n = extract_units_from_generate(gen, unit_file)
     assert n == 3
     assert unit_file.read_text().splitlines() == ["1 2 3", "7 8 9", "4 5"]
+
+    # Sensitivity canary (MM_PARITY_CANARY): +1 mod N at the seam.
+    import os
+
+    os.environ["MM_PARITY_CANARY"] = "offset1:mod10"
+    try:
+        extract_units_from_generate(gen, unit_file)
+    finally:
+        del os.environ["MM_PARITY_CANARY"]
+    assert unit_file.read_text().splitlines() == ["2 3 4", "8 9 0", "5 6"]
 
 
 def test_metrics_sinks(tmp_path):

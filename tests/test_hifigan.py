@@ -40,6 +40,7 @@ def test_length_regulate_matches_numpy_repeat():
     assert np.all(np.asarray(frames)[0, 6:] == 0)
 
 
+@pytest.mark.slow
 def test_generator_output_length():
     gen = HiFiGANGenerator(SMALL)
     x = jnp.ones((2, 10, SMALL.model_in_dim))

@@ -101,6 +101,7 @@ def test_dedup():
 TINY = ViTConfig(image_size=32, patch_size=16, embed_dim=24, depth=2, num_heads=2)
 
 
+@pytest.mark.slow
 def test_vit_shapes_and_rollout():
     model = VisionTransformer(TINY)
     x = jnp.ones((2, 32, 32, 3))

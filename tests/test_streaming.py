@@ -124,6 +124,7 @@ def test_retranslation_commit_rules():
     assert retranslation_commit([1, 2], [1, 2], [1, 2]) == []
 
 
+@pytest.mark.slow
 def test_streaming_s2st_finalize_matches_offline():
     """StreamingS2ST.finalize() == offline beam decode of the same fed
     frames through the same causal-encoder model."""
@@ -195,6 +196,7 @@ def _tiny_flagship(V=40, decoder_layers=1):
     return model, params, feats, T
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kv_dtype", [None, "int8"])
 def test_prefill_equals_stepwise(kv_dtype):
     """decode_prefill + one step == replaying the same tokens through
@@ -314,6 +316,7 @@ def test_streaming_s2st_prefix_reuse():
     assert final == offline, (final, offline)
 
 
+@pytest.mark.slow
 def test_streaming_session_reset_reuses_programs():
     """srv.reset() between utterances gives the same committed/final
     results as a fresh session (compiled programs are reused, state is

@@ -1,6 +1,7 @@
 """Config surface for the wav2vec2/mHuBERT speech branches:
 ModelConfig.w2v_args overrides + raw-waveform task plumbing."""
 import numpy as np
+import pytest
 
 from mm_s2ut.models.wav2vec2 import Wav2Vec2Config
 
@@ -40,6 +41,7 @@ def test_source_downsample_ratio():
     assert build_model_from_config(xm).source_downsample_ratio == 320
 
 
+@pytest.mark.slow
 def test_s2s_task_raw_waveform_batches(tmp_path):
     """speech_encoder_type != conv_transformer => batch_iterator yields
     raw waveforms (no fbank stage) and init_params uses a waveform dummy."""
