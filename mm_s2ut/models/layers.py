@@ -329,9 +329,13 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from mm_s2ut.ops.dropout import HashDropout
+
         h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
         h = get_activation(self.activation)(h)
-        h = nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
+        # Counter-hash dropout: the backward recomputes the (B, T, ffn)
+        # mask from a scalar seed instead of saving it (ops/dropout.py).
+        h = HashDropout(self.activation_dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(h)
         return h
 
@@ -368,7 +372,9 @@ class TransformerEncoderLayer(nn.Module):
             self.ffn_dim, self.embed_dim, self.activation,
             self.dropout, self.activation_dropout, dtype=self.dtype, name="ffn",
         )
-        drop = nn.Dropout(self.dropout)
+        from mm_s2ut.ops.dropout import HashDropout
+
+        drop = HashDropout(self.dropout)
 
         use_flash = self.use_flash and key_padding_mask is not None
         residual = x
@@ -424,7 +430,9 @@ class TransformerDecoderLayer(nn.Module):
             self.ffn_dim, self.embed_dim, self.activation,
             self.dropout, self.activation_dropout, dtype=self.dtype,
         )
-        self.drop = nn.Dropout(self.dropout)
+        from mm_s2ut.ops.dropout import HashDropout
+
+        self.drop = HashDropout(self.dropout)
 
     def __call__(
         self,

@@ -79,7 +79,9 @@ class SpeechTransformerEncoder(nn.Module):
         x = SinusoidalPositionalEmbedding(
             self.embed_dim, self.max_positions, dtype=self.dtype, name="pos"
         )(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        from mm_s2ut.ops.dropout import HashDropout
+
+        x = HashDropout(self.dropout)(x, deterministic=deterministic)
 
         from mm_s2ut.ops.attention import on_tpu
 

@@ -69,10 +69,23 @@ def dropout_keep(
     seed: jnp.ndarray,  # () uint32 per-call seed
     rate: float,
 ) -> jnp.ndarray:
-    """Boolean keep-mask, broadcast over the operands' common shape."""
-    h = _mix(qpos.astype(jnp.uint32) * _H3 + seed)
-    h = _mix(h ^ (kpos.astype(jnp.uint32) * _H1))
-    h = _mix(h ^ (bh.astype(jnp.uint32) * _H2))
+    """Boolean keep-mask, broadcast over the operands' common shape.
+
+    ONE finalizer round over an odd-multiplier coordinate injection: the
+    hash runs over B·H·T² logits, so its VPU cost grows QUADRATICALLY
+    with sequence length while model FLOPs don't — at T_src=4000 the
+    original three-round mix cost ~2.2 ms of a 14.9 ms train step
+    (round-5 ablation, scripts_dev/train_attn_probe.py). A single
+    avalanche round after distinct-odd-constant mixing decorrelates
+    plenty for dropout (the keep-rate and independence tests in
+    tests/test_attention.py gate it); this is regularization noise, not
+    crypto."""
+    h = _mix(
+        qpos.astype(jnp.uint32) * _H3
+        ^ (kpos.astype(jnp.uint32) * _H1)
+        ^ (bh.astype(jnp.uint32) * _H2)
+        ^ seed
+    )
     # Top 24 bits -> uniform [0, 1). Route the cast through int32:
     # Mosaic has no uint32 -> float32 lowering, and 24 bits always fit
     # the positive int32 range.
