@@ -355,7 +355,32 @@ class ContinuousServer:
                 state["local_step"] >= state["slot_max"] + 1,
             ),
         )
-        return state, done
+        # Self-deactivation: a done slot freezes IN-PROGRAM (the offline
+        # early-exit rule means nothing can change its finished set), so
+        # the host never ships a deactivation mask back. Admission
+        # re-arms the slot.
+        state = {
+            **state,
+            "active": jnp.logical_and(state["active"], ~done),
+            "alive_logp": jnp.where(
+                done[:, None], NEG_INF, state["alive_logp"]
+            ),
+        }
+        # ONE packed device→host report per chunk: [top-beam rows | done
+        # | score bits] as (B, ring+2) int32. Separate fetches each paid
+        # a full relay round-trip (~25 ms); the loop's per-chunk host
+        # cost is this single transfer.
+        packed = jnp.concatenate(
+            [
+                state["fin_seq"][:, 0],
+                done[:, None].astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    state["fin_scores"][:, 0], jnp.int32
+                )[:, None],
+            ],
+            axis=1,
+        )
+        return state, packed
 
     # -- host loop -----------------------------------------------------------
 
@@ -389,68 +414,105 @@ class ContinuousServer:
             (A, self.enc_frames) if self.enc_feat_dim is None
             else (A, self.enc_frames, self.enc_feat_dim)
         )
-        feats_buf = np.zeros(fshape, np.float32)
-        len_buf = np.zeros((A,), np.int32)
-        img_bufs = [np.zeros((A, t, d), np.float32) for t, d in self.img_shapes]
-        img_mask_bufs = [np.ones((A, t), bool) for t, d in self.img_shapes]
 
-        def admit_waves(state):
-            free = [b for b in range(self.B) if slot_uid[b] is None]
-            while queue and free:
-                wave, free = free[:A], free[A:]
+        def stage_next():
+            """Pop the next ≤A requests and START their host→device
+            feature transfer now, so the ~MBs ride the tunnel while the
+            device decodes the current chunk instead of stalling the
+            next admission (the transfer was the last serial per-wave
+            cost once drains were packed). Queue order is preserved —
+            staged requests are simply the next ones to admit.
+
+            Buffers are allocated FRESH per wave: on the CPU backend
+            jnp.asarray may zero-copy alias host memory, so reusing one
+            numpy buffer across waves let a later fill mutate an earlier
+            wave's in-flight device array under the pipelined dispatch
+            (caught by tests/test_serving.py score equality)."""
+            if not queue:
+                return None
+            feats_buf = np.zeros(fshape, np.float32)
+            len_buf = np.zeros((A,), np.int32)
+            img_bufs = [
+                np.zeros((A, t, d), np.float32) for t, d in self.img_shapes
+            ]
+            img_mask_bufs = [np.ones((A, t), bool) for t, d in self.img_shapes]
+            reqs = []
+            for a in range(A):
+                if not queue:
+                    break
+                req = queue.pop()
+                reqs.append(req)
+                Tq = min(req.features.shape[0], self.enc_frames)
+                feats_buf[a] = 0.0
+                feats_buf[a, :Tq] = req.features[:Tq]
+                len_buf[a] = min(req.length, self.enc_frames)
+                for i, (t, d) in enumerate(self.img_shapes):
+                    img_bufs[i][a] = 0.0
+                    img_mask_bufs[i][a] = True
+                    if i < len(req.imgs):
+                        ti = min(req.imgs[i].shape[0], t)
+                        img_bufs[i][a, :ti] = req.imgs[i][:ti]
+                        img_mask_bufs[i][a, :ti] = (
+                            req.img_masks[i][:ti]
+                            if i < len(req.img_masks) else False
+                        )
+            return {
+                "reqs": reqs,
+                "feats": jnp.asarray(feats_buf),
+                "lens": jnp.asarray(len_buf),
+                "imgs": tuple(jnp.asarray(x) for x in img_bufs),
+                "masks": tuple(jnp.asarray(x) for x in img_mask_bufs),
+                "admitted": 0,
+            }
+
+        staged = stage_next()
+
+        def admit_waves(state, staged):
+            while staged is not None:
+                reqs = staged["reqs"]
+                pending = len(reqs) - staged["admitted"]
+                free = [b for b in range(self.B) if slot_uid[b] is None]
+                if pending > 0 and not free:
+                    break
                 slot_idx = np.zeros((A,), np.int32)
                 valid = np.zeros((A,), bool)
-                for a, b in enumerate(wave):
-                    if not queue:
+                for a in range(staged["admitted"], len(reqs)):
+                    if not free:
                         break
-                    req = queue.pop()
+                    b = free.pop(0)
+                    req = reqs[a]
                     slot_uid[b] = req.uid
                     gen[b] += 1
                     slot_idx[a], valid[a] = b, True
-                    Tq = min(req.features.shape[0], self.enc_frames)
-                    feats_buf[a] = 0.0
-                    feats_buf[a, :Tq] = req.features[:Tq]
-                    len_buf[a] = min(req.length, self.enc_frames)
-                    for i, (t, d) in enumerate(self.img_shapes):
-                        img_bufs[i][a] = 0.0
-                        img_mask_bufs[i][a] = True
-                        if i < len(req.imgs):
-                            ti = min(req.imgs[i].shape[0], t)
-                            img_bufs[i][a, :ti] = req.imgs[i][:ti]
-                            img_mask_bufs[i][a, :ti] = (
-                                req.img_masks[i][:ti]
-                                if i < len(req.img_masks) else False
-                            )
+                    staged["admitted"] = a + 1
                 enc_out, enc_mask = self._encode(
-                    self.params, jnp.asarray(feats_buf), jnp.asarray(len_buf),
-                    tuple(jnp.asarray(x) for x in img_bufs),
-                    tuple(jnp.asarray(x) for x in img_mask_bufs),
+                    self.params, staged["feats"], staged["lens"],
+                    staged["imgs"], staged["masks"],
                 )
                 state = self._admit(
                     self.params, state, jnp.asarray(slot_idx),
-                    jnp.asarray(valid), enc_out, enc_mask,
-                    jnp.asarray(len_buf),
+                    jnp.asarray(valid), enc_out, enc_mask, staged["lens"],
                 )
-            return state
+                if staged["admitted"] < len(reqs):
+                    break  # partial wave: rest admits when slots free up
+                staged = stage_next()
+            return state, staged
 
-        def drain(chunk_state, done_dev, dispatch_gen):
-            """Sync on a completed chunk's done flags; emit finishers.
-            Returns the (host) done array for deactivation."""
-            done = np.asarray(done_dev)
+        T_ring = self.ring
+
+        def drain(packed_dev, dispatch_gen):
+            """Sync on a completed chunk's packed report (ONE fetch:
+            top-beam rows + done flags + score bits) and emit finishers.
+            Done slots already froze themselves inside the chunk program
+            (self-deactivation), so nothing is shipped back."""
+            packed = np.asarray(packed_dev)
+            done = packed[:, T_ring] != 0
             if done.any():
-                # Fetch the top-beam rows at a FIXED shape: (B, ring)
-                # int32 is ~64 KB at slots=64 — one jit-cached slice. The
-                # round-4 variable-width gather (finished rows only) cost
-                # less bandwidth but compiled a fresh gather program for
-                # every distinct finisher count (~1-2 s each through the
-                # relay), which dominated wall time on real workloads.
-                idx = np.nonzero(done)[0]
-                fin_seq = np.asarray(chunk_state["fin_seq"][:, 0])
-                fin_scores = np.asarray(chunk_state["fin_scores"][:, 0])
-                for b in idx:
+                fin_scores = packed[:, T_ring + 1].view(np.float32)
+                for b in np.nonzero(done)[0]:
                     if slot_uid[b] is None or dispatch_gen[b] != gen[b]:
                         continue  # already emitted / slot since refilled
-                    toks = [int(t) for t in fin_seq[b]]
+                    toks = [int(t) for t in packed[b, :T_ring]]
                     # strip BOS, cut at EOS
                     toks = toks[1:]
                     if self.eos in toks:
@@ -459,34 +521,16 @@ class ContinuousServer:
                         Result(slot_uid[b], toks, float(fin_scores[b]))
                     )
                     slot_uid[b] = None
-            return done
 
-        inflight = None  # (chunk_output_state, done_dev, dispatch_gen)
-        pending_deact: Optional[np.ndarray] = None
-        while queue or any(u is not None for u in slot_uid):
-            if pending_deact is not None and pending_deact.any():
-                # Freeze slots drained last iteration but not refilled:
-                # stop them competing/stepping as live work.
-                deact = jnp.asarray(
-                    np.array([
-                        pending_deact[b] and slot_uid[b] is None
-                        for b in range(self.B)
-                    ])
-                )
-                state = {
-                    **state,
-                    "active": jnp.logical_and(state["active"], ~deact),
-                    "alive_logp": jnp.where(
-                        deact[:, None], NEG_INF, state["alive_logp"]
-                    ),
-                }
-            pending_deact = None
-            state = admit_waves(state)
-            new_state, done_dev = self._decode_chunk(self.params, state)
+        inflight = None  # (packed_dev, dispatch_gen)
+        while queue or staged is not None or any(
+            u is not None for u in slot_uid
+        ):
+            state, staged = admit_waves(state, staged)
+            state, packed_dev = self._decode_chunk(self.params, state)
             if inflight is not None:
-                pending_deact = drain(*inflight)
-            inflight = (new_state, done_dev, list(gen))
-            state = new_state
+                drain(*inflight)
+            inflight = (packed_dev, list(gen))
         if inflight is not None:
             drain(*inflight)
         return results
