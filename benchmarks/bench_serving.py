@@ -126,6 +126,9 @@ def main():
     t_small = min(run_serving(big_reqs[:N_REQ]) for _ in range(2))
     t_big = min(run_serving(big_reqs) for _ in range(2))
     serving_utt = (3 * N_REQ - N_REQ) / max(t_big - t_small, 1e-9)
+    # Host-phase attribution of the last big run (ContinuousServer.stats).
+    phase = {k: (round(v, 3) if isinstance(v, float) else v)
+             for k, v in getattr(srv, "stats", {}).items()}
 
     # ---- static offline ----------------------------------------------------
     # One compiled program per budget bucket; batch rows pad to SLOTS.
@@ -195,7 +198,9 @@ def main():
         "metric": "serving_utt_per_sec",
         "value": round(serving_utt, 3), "unit": "utt/s/chip",
         "extra": {"slots": SLOTS, "beam": BEAM, "kv": KV, "chunk": CHUNK,
-                  "admit_width": ADMIT, "n_marginal": 2 * N_REQ},
+                  "admit_width": ADMIT, "n_marginal": 2 * N_REQ,
+                  "phase": phase, "t_small_s": round(t_small, 3),
+                  "t_big_s": round(t_big, 3)},
     }), flush=True)
 
 

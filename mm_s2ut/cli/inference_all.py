@@ -18,6 +18,21 @@ from typing import List, Optional
 logger = logging.getLogger("mm_s2ut.inference_all")
 
 
+def _canary_mode() -> str:
+    """Deliberate-fault canary for the acceptance chains (VERDICT r4 #8).
+
+    ``MM_PARITY_CANARY=offset1:modN`` corrupts every extracted unit token
+    (+1 mod N) at the decode→vocoder seam; ``MM_PARITY_CANARY=droptok``
+    drops each text hypothesis's first word at the detokenize seam. The
+    parity scripts assert the downstream BLEU collapses under either
+    fault — proving the chain measures its own hypotheses rather than
+    being accidentally insensitive.
+    """
+    import os
+
+    return os.environ.get("MM_PARITY_CANARY", "")
+
+
 def extract_units_from_generate(gen_file: Path, unit_file: Path) -> int:
     """grep "^D-" | sort -nk1 | cut -f3 (reference
     3_generate_waveform.sh:24-26), as code."""
@@ -28,6 +43,12 @@ def extract_units_from_generate(gen_file: Path, unit_file: Path) -> int:
         if m:
             rows.append((int(m.group(1)), m.group(2)))
     rows.sort()
+    canary = _canary_mode()
+    if canary.startswith("offset1:mod"):
+        n = int(canary[len("offset1:mod"):])
+        logger.warning("MM_PARITY_CANARY active: units -> (u+1) mod %d", n)
+        rows = [(i, " ".join(str((int(u) + 1) % n) for u in units.split()))
+                for i, units in rows]
     unit_file.write_text("\n".join(u for _, u in rows) + "\n")
     return len(rows)
 
@@ -54,6 +75,9 @@ def extract_text_from_generate(
                 text = sp.decode(text.split())
             rows.append((int(m.group(1)), text))
     rows.sort()
+    if _canary_mode() == "droptok":
+        logger.warning("MM_PARITY_CANARY active: dropping first hyp word")
+        rows = [(i, " ".join(t.split()[1:])) for i, t in rows]
     hyp_file.write_text("\n".join(t for _, t in rows) + "\n")
     return len(rows)
 

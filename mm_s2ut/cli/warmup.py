@@ -45,6 +45,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--ring", type=int, default=0,
                     help="serving ring size; 0 derives it from the "
                          "generation budget (a*max_frames + b)")
+    ap.add_argument("--aot", default=None, metavar="DIR",
+                    help="also serialize the compiled generate executables "
+                         "per batch size (UnitGenerator.aot_save) so a "
+                         "restarted process can aot_load them with zero "
+                         "tracing/compilation")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp  # noqa: F401  (forces jax init after cli cache env)
@@ -81,6 +86,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             bs, args.max_frames, cfg.generation.beam,
             time.perf_counter() - t,
         )
+        if args.aot:
+            t = time.perf_counter()
+            out = gen.aot_save(
+                args.aot, bs, args.max_frames,
+                img_shapes=tuple((8, d) for d in mm.image_feat_dim[:n_imgs]),
+            )
+            logger.info("AOT serialized %s (+%.1fs)", out,
+                        time.perf_counter() - t)
     if args.serving:
         from mm_s2ut.infer.serving import ContinuousServer, Request
 

@@ -129,6 +129,12 @@ class ContinuousServer:
         self._decode_chunk = jax.jit(self._decode_chunk_impl)
         self._admit = jax.jit(self._admit_impl)
         self._encode = jax.jit(self._encode_impl)
+        # The hot admission path: encode + scatter in ONE dispatch. Each
+        # jitted call through the device tunnel costs a host round-trip
+        # of dispatch latency; at admit_width=8 a 512-request workload
+        # pays 64 waves, so halving per-wave dispatches is material
+        # (the separate _encode/_admit stay for tests and direct use).
+        self._admit_encoded = jax.jit(self._admit_encoded_impl)
 
     # -- jitted pieces -------------------------------------------------------
 
@@ -269,6 +275,13 @@ class ContinuousServer:
             "active": state["active"].at[idx].set(True, mode="drop"),
         }
 
+    def _admit_encoded_impl(self, params, state, slot_idx, valid, feats,
+                            lengths, imgs, img_masks):
+        enc_out, enc_mask = self._encode_impl(params, feats, lengths, imgs,
+                                              img_masks)
+        return self._admit_impl(params, state, slot_idx, valid, enc_out,
+                                enc_mask, lengths)
+
     def _decode_chunk_impl(self, params, state):
         """Run ``chunk`` decode steps; per-slot beam search semantics."""
         B, K, V, T = self.B, self.K, self.V, self.ring
@@ -402,9 +415,17 @@ class ContinuousServer:
         emitting a REFILLED slot from a stale done flag (the stale chunk
         still reports the old utterance done after its slot was reused).
         """
+        import time as _time
+
         queue = list(requests)
         queue.reverse()  # pop from the end
         results: List[Result] = []
+        # Host-side phase attribution for the last run (seconds + counts):
+        # stage = numpy fill + transfer dispatch, admit = fused
+        # encode+scatter dispatches, decode = chunk dispatches, drain =
+        # blocking fetch of the previous chunk's packed report.
+        self.stats = {"stage_s": 0.0, "admit_s": 0.0, "decode_s": 0.0,
+                      "drain_s": 0.0, "waves": 0, "chunks": 0}
         state = self.init_state(self.params)
         slot_uid: List[Optional[Any]] = [None] * self.B
         gen = [0] * self.B  # bumped on every admission into the slot
@@ -485,17 +506,19 @@ class ContinuousServer:
                     gen[b] += 1
                     slot_idx[a], valid[a] = b, True
                     staged["admitted"] = a + 1
-                enc_out, enc_mask = self._encode(
-                    self.params, staged["feats"], staged["lens"],
+                t0 = _time.perf_counter()
+                state = self._admit_encoded(
+                    self.params, state, jnp.asarray(slot_idx),
+                    jnp.asarray(valid), staged["feats"], staged["lens"],
                     staged["imgs"], staged["masks"],
                 )
-                state = self._admit(
-                    self.params, state, jnp.asarray(slot_idx),
-                    jnp.asarray(valid), enc_out, enc_mask, staged["lens"],
-                )
+                self.stats["admit_s"] += _time.perf_counter() - t0
+                self.stats["waves"] += 1
                 if staged["admitted"] < len(reqs):
                     break  # partial wave: rest admits when slots free up
+                t0 = _time.perf_counter()
                 staged = stage_next()
+                self.stats["stage_s"] += _time.perf_counter() - t0
             return state, staged
 
         T_ring = self.ring
@@ -505,7 +528,9 @@ class ContinuousServer:
             top-beam rows + done flags + score bits) and emit finishers.
             Done slots already froze themselves inside the chunk program
             (self-deactivation), so nothing is shipped back."""
+            t0 = _time.perf_counter()
             packed = np.asarray(packed_dev)
+            self.stats["drain_s"] += _time.perf_counter() - t0
             done = packed[:, T_ring] != 0
             if done.any():
                 fin_scores = packed[:, T_ring + 1].view(np.float32)
@@ -527,7 +552,10 @@ class ContinuousServer:
             u is not None for u in slot_uid
         ):
             state, staged = admit_waves(state, staged)
+            t0 = _time.perf_counter()
             state, packed_dev = self._decode_chunk(self.params, state)
+            self.stats["decode_s"] += _time.perf_counter() - t0
+            self.stats["chunks"] += 1
             if inflight is not None:
                 drain(*inflight)
             inflight = (packed_dev, list(gen))

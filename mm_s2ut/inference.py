@@ -129,6 +129,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--admit-width", type=int, default=None,
                     help="continuous-batching admission-wave width (rows "
                          "encoded/transferred per refill; default: slots)")
+    ap.add_argument("--aot", default=None, metavar="DIR",
+                    help="load serialized generate executables saved by "
+                         "`cli.warmup --aot DIR` (zero tracing/compile for "
+                         "matching batch shapes; others fall back to jit)")
     args = ap.parse_args(argv)
 
     if not args.audio_path and not args.manifest_file:
@@ -151,6 +155,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     tgt_dict = UnitDictionary(cfg.data.target_code_size)
     gen = UnitGenerator(model, params, cfg.generation,
                         max_target_positions=cfg.model.max_target_positions)
+    if args.aot:
+        n = gen.aot_load(args.aot)
+        logger.info("AOT: loaded %d operating point(s) from %s", n, args.aot)
     fbank_cfg = FbankConfig(
         sample_rate=cfg.data.sample_rate, num_mel_bins=cfg.data.num_mel_bins
     )

@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 from pathlib import Path
 
@@ -432,6 +433,11 @@ def main(argv=None):
                     help="train/eval from on-disk jpgs through the in-graph "
                     "ViT (load_visual_extractor_type) instead of "
                     "precomputed feature blobs")
+    ap.add_argument("--canary", action="store_true",
+                    help="after the clean run, re-run the test subset with "
+                    "MM_PARITY_CANARY=offset1:mod%d (every unit corrupted "
+                    "at the decode->vocoder seam) and exit 3 unless ASR-BLEU "
+                    "collapses by >=30 points" % N_UNITS)
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -476,10 +482,48 @@ def main(argv=None):
         return rc
 
     print("== summary ==")
+    clean = {}
     for subset in ("valid", "test"):
         bleu_line = (results_root / subset / "bleu.txt").read_text().strip()
         ub = unit_bleu(root, results_root, subset)
+        m = re.search(r"BLEU\s*=\s*([0-9.]+)", bleu_line)
+        clean[subset] = float(m.group(1)) if m else 0.0
         print(f"{subset}: unit-BLEU {ub:.2f} | ASR-{bleu_line}")
+
+    if args.canary:
+        # Sensitivity canary (VERDICT r4 weak #8): corrupt EVERY unit at
+        # the decode->vocoder seam (+1 mod N_UNITS) and demand the chain
+        # notices. The vocoder then synthesizes the wrong fingerprints,
+        # the trained ASR transcribes the wrong words, and ASR-BLEU must
+        # collapse; if it does not, the acceptance metric is not actually
+        # measuring the decoded hypotheses.
+        print("== canary (+1 mod %d at the unit seam) ==" % N_UNITS,
+              flush=True)
+        os.environ["MM_PARITY_CANARY"] = f"offset1:mod{N_UNITS}"
+        try:
+            canary_root = root / "results_canary"
+            rc = infall_main([
+                "--model_path", str(root / "ckpt"),
+                "--subsets", "test",
+                "--results-root", str(canary_root),
+                "--vocoder", str(root / "vocoder.pt"),
+                "--vocoder-cfg", str(root / "vocoder.json"),
+                "--asr-model", str(root / "asr"),
+                "--reference-root", str(root / "refs"),
+                "--beam", "5",
+            ])
+        finally:
+            del os.environ["MM_PARITY_CANARY"]
+        if rc != 0:
+            return rc
+        line = (canary_root / "test" / "bleu.txt").read_text().strip()
+        m = re.search(r"BLEU\s*=\s*([0-9.]+)", line)
+        fault = float(m.group(1)) if m else 0.0
+        moved = fault < clean["test"] - 30.0
+        print(f"canary: clean {clean['test']:.2f} -> faulted {fault:.2f} "
+              f"({'COLLAPSED OK' if moved else 'DID NOT MOVE - CHAIN INSENSITIVE'})")
+        if not moved:
+            return 3
     return 0
 
 
