@@ -101,11 +101,12 @@ def main():
 
     # ---- serving -----------------------------------------------------------
     ADMIT = int(os.environ.get("SRV_ADMIT", str(max(SLOTS // 8, 1))))
+    SYNC = int(os.environ.get("SRV_SYNC", "4"))
     srv = ContinuousServer(
         model, params, slots=SLOTS, beam_size=BEAM, ring=256, chunk=CHUNK,
         enc_frames=ENC_FRAMES, eos_id=2, bos_id=2, pad_id=1,
         vocab_size=cfg.vocab_size, max_len_a=BUDGET_A, max_len_b=0,
-        kv_cache_dtype=KV, admit_width=ADMIT,
+        kv_cache_dtype=KV, admit_width=ADMIT, sync_every=SYNC,
     )
 
     # Two-point marginal with the SMALL workload an exact prefix of the
@@ -129,6 +130,18 @@ def main():
     # Host-phase attribution of the last big run (ContinuousServer.stats).
     phase = {k: (round(v, 3) if isinstance(v, float) else v)
              for k, v in getattr(srv, "stats", {}).items()}
+
+    if os.environ.get("SRV_SKIP_STATIC"):  # serving-only iteration runs
+        print(json.dumps({
+            "metric": "serving_utt_per_sec",
+            "value": round(serving_utt, 3), "unit": "utt/s/chip",
+            "extra": {"slots": SLOTS, "beam": BEAM, "kv": KV, "chunk": CHUNK,
+                      "admit_width": ADMIT, "sync_every": SYNC,
+                      "n_marginal": 2 * N_REQ,
+                      "phase": phase, "t_small_s": round(t_small, 3),
+                      "t_big_s": round(t_big, 3)},
+        }), flush=True)
+        return
 
     # ---- static offline ----------------------------------------------------
     # One compiled program per budget bucket; batch rows pad to SLOTS.

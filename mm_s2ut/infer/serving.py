@@ -98,6 +98,7 @@ class ContinuousServer:
         kv_cache_dtype: str = "bfloat16",
         admit_width: Optional[int] = None,
         enc_feat_dim: Optional[int] = 80,
+        sync_every: int = 1,
     ):
         if max_len_b >= ring:
             raise ValueError("ring must exceed max_len_b (no wrap within one utterance)")
@@ -126,6 +127,17 @@ class ContinuousServer:
         # ``slots`` (at slots=128 a full-pool wave re-ships ~21 MB of
         # features + any image sources to admit a single drained slot).
         self.A = min(slots, admit_width) if admit_width else slots
+        # Fetch only every Nth chunk's packed report. Through the device
+        # tunnel the report fetch costs ~60 ms of RTT regardless of chunk
+        # size (measured: per-chunk drain cost barely moved between
+        # chunk=16 and chunk=8) while the decode steps themselves are
+        # ~0.75 ms — so skipping fetches trades a small refill delay
+        # (finishers are detected up to N·chunk steps late; the slot
+        # idles frozen meanwhile) for removing the dominant fixed cost.
+        # Safe because the per-slot ``finished`` flag is LEVEL-triggered
+        # in-program: it stays set from self-freeze until re-admission,
+        # so any later report still names every unclaimed finisher.
+        self.sync_every = max(1, sync_every)
         self._decode_chunk = jax.jit(self._decode_chunk_impl)
         self._admit = jax.jit(self._admit_impl)
         self._encode = jax.jit(self._encode_impl)
@@ -193,6 +205,10 @@ class ContinuousServer:
             "fin_flags": jnp.zeros((B, K), bool),
             "slot_max": jnp.zeros((B,), jnp.int32),
             "active": jnp.zeros((B,), bool),
+            # Level-triggered finisher flag: set when a slot self-freezes,
+            # cleared on re-admission — so a report fetched chunks later
+            # still names every finisher the host hasn't claimed yet.
+            "finished": jnp.zeros((B,), bool),
         }
         del state["step"]
         return state
@@ -273,6 +289,7 @@ class ContinuousServer:
             "fin_flags": scat(state["fin_flags"], jnp.zeros((A, K), bool)),
             "slot_max": scat(state["slot_max"], slot_max),
             "active": state["active"].at[idx].set(True, mode="drop"),
+            "finished": state["finished"].at[idx].set(False, mode="drop"),
         }
 
     def _admit_encoded_impl(self, params, state, slot_idx, valid, feats,
@@ -371,22 +388,25 @@ class ContinuousServer:
         # Self-deactivation: a done slot freezes IN-PROGRAM (the offline
         # early-exit rule means nothing can change its finished set), so
         # the host never ships a deactivation mask back. Admission
-        # re-arms the slot.
+        # re-arms the slot. ``finished`` latches until re-admission so
+        # reports are level-triggered (see sync_every).
         state = {
             **state,
             "active": jnp.logical_and(state["active"], ~done),
+            "finished": jnp.logical_or(state["finished"], done),
             "alive_logp": jnp.where(
                 done[:, None], NEG_INF, state["alive_logp"]
             ),
         }
-        # ONE packed device→host report per chunk: [top-beam rows | done
-        # | score bits] as (B, ring+2) int32. Separate fetches each paid
-        # a full relay round-trip (~25 ms); the loop's per-chunk host
-        # cost is this single transfer.
+        # ONE packed device→host report per chunk: [top-beam rows |
+        # finished | score bits] as (B, ring+2) int32. Separate fetches
+        # each paid a full relay round-trip (~25 ms); the loop's per-chunk
+        # host cost is this single transfer (or none, when sync_every
+        # skips the fetch).
         packed = jnp.concatenate(
             [
                 state["fin_seq"][:, 0],
-                done[:, None].astype(jnp.int32),
+                state["finished"][:, None].astype(jnp.int32),
                 jax.lax.bitcast_convert_type(
                     state["fin_scores"][:, 0], jnp.int32
                 )[:, None],
@@ -548,6 +568,7 @@ class ContinuousServer:
                     slot_uid[b] = None
 
         inflight = None  # (packed_dev, dispatch_gen)
+        it = 0
         while queue or staged is not None or any(
             u is not None for u in slot_uid
         ):
@@ -556,7 +577,12 @@ class ContinuousServer:
             state, packed_dev = self._decode_chunk(self.params, state)
             self.stats["decode_s"] += _time.perf_counter() - t0
             self.stats["chunks"] += 1
-            if inflight is not None:
+            it += 1
+            # Fetch only every sync_every-th report; skipped reports are
+            # simply dropped (their device buffers are never transferred).
+            # The level-triggered ``finished`` column makes any later
+            # report a superset of the skipped ones' unclaimed finishers.
+            if inflight is not None and it % self.sync_every == 0:
                 drain(*inflight)
             inflight = (packed_dev, list(gen))
         if inflight is not None:

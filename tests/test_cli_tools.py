@@ -135,6 +135,29 @@ def test_extract_units_from_generate(tmp_path):
     assert unit_file.read_text().splitlines() == ["2 3 4", "8 9 0", "5 6"]
 
 
+def test_extract_text_droptok_canary(tmp_path):
+    """The enhanced-chain canary (MM_PARITY_CANARY=droptok) drops each
+    hypothesis's FIRST word at the detokenize seam (parity_enhanced.py
+    --canary asserts the resulting text-BLEU collapse)."""
+    import os
+
+    from mm_s2ut.cli.inference_all import extract_text_from_generate
+
+    gen = tmp_path / "generate-test.txt"
+    gen.write_text("D-0\t-0.2\talpha beta gamma\nD-1\t-0.5\tone two\n")
+    hyp = tmp_path / "hyp.txt"
+    n = extract_text_from_generate(gen, hyp)
+    assert n == 2
+    assert hyp.read_text().splitlines() == ["alpha beta gamma", "one two"]
+
+    os.environ["MM_PARITY_CANARY"] = "droptok"
+    try:
+        extract_text_from_generate(gen, hyp)
+    finally:
+        del os.environ["MM_PARITY_CANARY"]
+    assert hyp.read_text().splitlines() == ["beta gamma", "two"]
+
+
 def test_metrics_sinks(tmp_path):
     from mm_s2ut.train.metrics import MetricsAggregator, MetricsWriter
 

@@ -69,10 +69,12 @@ def _offline(model, params, feats, length, enc_frames=64):
     return toks, float(scores[0, 0])
 
 
-@pytest.mark.parametrize("admit_width", [None, 1])
-def test_server_matches_offline_beam_search(admit_width):
+@pytest.mark.parametrize("admit_width,sync_every", [(None, 1), (1, 1), (None, 3)])
+def test_server_matches_offline_beam_search(admit_width, sync_every):
     """admit_width=1 forces multi-wave bounded admission (each wave
-    encodes/transfers one row and scatters it into its slot)."""
+    encodes/transfers one row and scatters it into its slot);
+    sync_every=3 exercises skipped report fetches — finishers must
+    survive to a later report via the level-triggered finished flag."""
     model, params = _model()
     rng = np.random.RandomState(3)
     n_req = 5
@@ -85,6 +87,7 @@ def test_server_matches_offline_beam_search(admit_width):
         model, params, slots=2, beam_size=K, ring=32, chunk=5,
         enc_frames=64, eos_id=EOS, bos_id=BOS, pad_id=PAD, vocab_size=V,
         max_len_a=0.0, max_len_b=MAX_LEN, admit_width=admit_width,
+        sync_every=sync_every,
     )
     results = {r.uid: r for r in srv.run(reqs)}
     assert set(results) == set(range(n_req))
